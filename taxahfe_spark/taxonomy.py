@@ -1,0 +1,217 @@
+"""Taxonomy tree as DataFrames: path split, node skeleton, observed-wins rollup.
+
+Re-expresses the reference's mutable ``data.tree`` graph (reference:
+lib/tree.R:396-449 build_tree, lib/tree.R:372-388 fix_unpopulated_node) as
+pure DataFrame transformations:
+
+- the *tree* is just the set of distinct path prefixes of the observed rows
+  (small — broadcastable even for 10^5-node taxonomies);
+- the *per-node abundance state* is a long (path, entity_id, value) frame
+  (big — stays distributed, shuffle-partitioned on (path, entity_id));
+- post-order traversal becomes a driver loop over levels from deepest to
+  shallowest; within a level every node is independent, so each iteration is
+  ONE map-side-combined groupBy — no per-node work, no driver data movement.
+
+Correctness-critical invariant ("observed wins", lib/tree.R:374-376): a node
+that appears in the input keeps its own vector verbatim; only missing
+ancestors are synthesized as the elementwise sum of their (already-resolved)
+children, so grandchildren roll up transitively exactly like the reference's
+post-order ``fix_unpopulated_node``.
+
+Level convention: ``level == size(split(path, '|'))`` (number of path
+segments). The reference counts its synthetic root as level 1, so
+``reference_level == level + 1``; the pipeline wrapper converts CLI-style
+bounds (see pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from taxahfe_spark.naming import clean_value_col
+
+PATH_SEP = "|"
+_SPLIT_RE = r"\|"
+
+
+def parent_path(col) -> F.Column:
+    """Parent path = path minus its last segment ('' for depth-1 nodes)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.instr(c, PATH_SEP) > 0, F.regexp_replace(c, r"\|[^|]*$", "")).otherwise(F.lit(None))
+
+
+def path_level(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(c, _SPLIT_RE))
+
+
+def explode_ancestors(df: DataFrame, path_col: str = "path") -> DataFrame:
+    """One output row per (row, ancestor-prefix) incl. the path itself.
+
+    Adds ``anc_path`` and ``anc_level``. Pure built-ins:
+    ``transform(sequence(...), k -> array_join(slice(parts,1,k),'|'))``
+    stays inside whole-stage codegen (no UDF, no shuffle).
+    """
+    parts = F.split(F.col(path_col), _SPLIT_RE)
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda k: F.array_join(F.slice(parts, F.lit(1), k), PATH_SEP),
+    )
+    return df.select(
+        "*", F.posexplode(prefixes).alias("_anc_pos", "anc_path")
+    ).withColumn("anc_level", F.col("_anc_pos") + 1).drop("_anc_pos")
+
+
+def node_skeleton(observed_paths: DataFrame, path_col: str = "path") -> DataFrame:
+    """All distinct nodes (observed paths + every ancestor prefix).
+
+    Returns (path, level, name, parent_path, observed). This is the
+    broadcastable tree skeleton — the analog of the reference's node graph
+    minus the per-node abundance state.
+    """
+    obs = observed_paths.select(F.col(path_col).alias("path")).distinct()
+    all_nodes = (
+        explode_ancestors(obs, "path")
+        .groupBy(F.col("anc_path").alias("path"))
+        .agg(F.max("anc_level").alias("level"))
+    )
+    obs_flag = obs.withColumn("observed", F.lit(True))
+    return (
+        all_nodes.join(obs_flag, "path", "left")
+        .select(
+            "path",
+            "level",
+            F.element_at(F.split("path", _SPLIT_RE), -1).alias("name"),
+            parent_path("path").alias("parent_path"),
+            F.coalesce("observed", F.lit(False)).alias("observed"),
+        )
+    )
+
+
+def melt_wide_matrix(
+    wide: DataFrame, feature_col: str = "clade_name", value_type: str = "double"
+) -> DataFrame:
+    """Wide (feature row x one column per entity) -> long (clade_name, entity_id, value).
+
+    The reference's input format (lib/tree.R:143-200): col 1 = clade_name,
+    remaining columns one per subject. One-column-per-entity breaks beyond
+    ~10^4 entities, so everything downstream uses this long layout.
+    """
+    entity_cols = [c for c in wide.columns if c != feature_col]
+    ids = [feature_col]
+    long = wide.unpivot(ids, entity_cols, "entity_id", "value")
+    return long.select(
+        F.col(feature_col).alias("clade_name"),
+        "entity_id",
+        F.col("value").cast(value_type).alias("value"),
+    )
+
+
+def hierarchical_rollup(
+    long_df: DataFrame,
+    clean_paths: bool = True,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Observed-wins hierarchical rollup (reference: lib/tree.R:372-449).
+
+    Input: long frame (clade_name, entity_id, value) — one row per observed
+    (feature-path, entity) pair; absent pairs are implicit zeros.
+
+    Output: resolved long frame (path, level, entity_id, value, observed)
+    covering EVERY node of the taxonomy: observed nodes keep their input
+    vector verbatim; unobserved ancestors get the elementwise sum of their
+    resolved children (transitive, deepest-first).
+
+    Scale shape: one shuffle per level (groupBy(parent, entity) with map-side
+    partial aggregation), anti-join against a broadcast set of observed paths,
+    localCheckpoint per level to truncate lineage (mandatory for deep trees —
+    otherwise the plan grows O(depth) and re-executes on every action).
+    """
+    path_col = clean_value_col("clade_name") if clean_paths else F.col("clade_name")
+    observed = long_df.select(
+        path_col.alias("path"),
+        F.col("entity_id").cast("string").alias("entity_id"),
+        F.col("value").cast("double").alias("value"),
+    ).withColumn("level", path_level("path"))
+
+    max_level = observed.agg(F.max("level")).first()[0]
+    if max_level is None:
+        return observed.select(
+            "path", "level", "entity_id", "value", F.lit(True).alias("observed")
+        ).limit(0)
+
+    # distinct observed paths per level — tiny, broadcast into anti-joins
+    observed_paths = observed.select("path", "level").distinct()
+    spark = long_df.sparkSession
+    obs_paths_by_level = {
+        r["level"]: [] for r in observed_paths.select("level").distinct().collect()
+    }
+    for r in observed_paths.collect():  # taxonomy-sized (<=1e5), not data-sized
+        obs_paths_by_level.setdefault(r["level"], []).append(r["path"])
+
+    resolved_per_level: list[DataFrame] = []
+    current = observed.filter(F.col("level") == max_level).withColumn(
+        "observed", F.lit(True)
+    )
+    if checkpoint:
+        current = current.localCheckpoint(eager=False)
+    resolved_per_level.append(current)
+
+    for lvl in range(max_level - 1, 0, -1):
+        child = resolved_per_level[-1]
+        # roll children up one level; parent derived from the path string so
+        # no join is needed to find it
+        rolled = (
+            child.withColumn("path", parent_path("path"))
+            .filter(F.col("path").isNotNull())
+            .groupBy("path", "entity_id")
+            .agg(F.sum("value").alias("value"))
+            .withColumn("level", F.lit(lvl))
+            .withColumn("observed", F.lit(False))
+        )
+        obs_paths_lvl = obs_paths_by_level.get(lvl, [])
+        if obs_paths_lvl:
+            # observed wins: input rows override the rollup at node granularity
+            rolled = rolled.filter(~F.col("path").isin(obs_paths_lvl))
+        obs_lvl = observed.filter(F.col("level") == lvl).withColumn(
+            "observed", F.lit(True)
+        )
+        current = obs_lvl.unionByName(rolled.select(*obs_lvl.columns))
+        if checkpoint:
+            current = current.localCheckpoint(eager=False)
+        resolved_per_level.append(current)
+
+    out = resolved_per_level[0]
+    for lvl_df in resolved_per_level[1:]:
+        out = out.unionByName(lvl_df)
+    return out.select("path", "level", "entity_id", "value", "observed")
+
+
+def to_feature_vectors(resolved: DataFrame, entity_ids: list[str]) -> DataFrame:
+    """(path, level, entity_id, value) -> (path, level, values: array<double>).
+
+    ``entity_ids`` fixes the canonical vector order (the reference's column
+    order); missing (path, entity) pairs become 0.0. Used as the Arrow input
+    to the competition UDFs — one map-side-combinable aggregation, the vector
+    is assembled per path without a driver round-trip.
+    """
+    spark = resolved.sparkSession
+    idx = spark.createDataFrame(
+        [(e, i) for i, e in enumerate(entity_ids)], ["entity_id", "_eidx"]
+    )
+    n = len(entity_ids)
+    zeros = F.array_repeat(F.lit(0.0), n)
+    pairs = resolved.join(F.broadcast(idx), "entity_id", "inner")
+    return (
+        pairs.groupBy("path", "level")
+        .agg(F.map_from_arrays(F.collect_list("_eidx"), F.collect_list("value")).alias("_m"))
+        .select(
+            "path",
+            "level",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                lambda i: F.coalesce(F.element_at("_m", i.cast("int")), F.lit(0.0)),
+            ).alias("values"),
+        )
+    )
