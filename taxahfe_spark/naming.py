@@ -61,6 +61,18 @@ def clean_names_df(df, skip: tuple[str, ...] = ()):
     return df.withColumnsRenamed(mapping)
 
 
+def clean_entity(s: str) -> str:
+    """Entity-id cleaning, EXACTLY mirrored by clean_entity_expr (the two are
+    applied to the metadata side and the data side of the same join)."""
+    return _NON_ALNUM.sub("_", str(s).lower()).strip("_")
+
+
+def clean_entity_expr(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(F.lower(c.cast("string")), r"[^a-z0-9]+", "_")
+    return F.regexp_replace(cleaned, r"^_+|_+$", "")
+
+
 def clean_value_col(col: Column | str, keep_pipe: bool = True) -> Column:
     """Spark expression cleaning a string VALUE column.
 

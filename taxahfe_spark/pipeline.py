@@ -1,0 +1,168 @@
+"""End-to-end taxaHFE pipeline: scan -> rollup -> filter -> compete -> export.
+
+The Spark analog of the reference entry point cmd/taxa_hfe.R ->
+lib/methods.R:11-53 (method_taxa_hfe): read metadata + hierarchical matrix,
+build the tree, compete it, and emit the collapsed winner feature matrix.
+
+Levels here are in path-segment units; reference CLI levels count a synthetic
+root as 1, so ``reference_level == segments + 1`` (pass CLI-style values
+through ``from_reference_levels=True``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taxahfe_spark.naming import clean_entity, clean_entity_expr, clean_name, clean_names_df
+from taxahfe_spark.operators.competition import CompetitionParams, TreeCompetition
+from taxahfe_spark.operators.filters import feature_filter_flags
+from taxahfe_spark.taxonomy import hierarchical_rollup, melt_wide_matrix, to_feature_vectors
+
+
+def read_metadata(
+    spark: SparkSession,
+    path: str,
+    subject_identifier: str,
+    label: str,
+    sep: str | None = None,
+) -> DataFrame:
+    """CSV/TSV metadata scan (reference lib/tree.R:49-138): rename the id and
+    label columns to canonical names, clean names, drop NA rows."""
+    if sep is None:
+        sep = "\t" if path.endswith((".tsv", ".txt")) else ","
+    df = spark.read.option("header", True).option("sep", sep).csv(path)
+    df = df.withColumnsRenamed(
+        {subject_identifier: "subject_id", label: "feature_of_interest"}
+    )
+    df = clean_names_df(df, skip=("subject_id", "feature_of_interest"))
+    return df.na.drop()
+
+
+def read_hierarchical_data(
+    spark: SparkSession, path: str, sep: str | None = None
+) -> DataFrame:
+    """Wide hierarchical matrix scan (reference lib/tree.R:143-200): drop
+    known-useless taxon-id columns at the scan."""
+    if sep is None:
+        sep = "\t" if path.endswith((".tsv", ".txt")) else ","
+    df = spark.read.option("header", True).option("sep", sep).csv(path)
+    drop = [c for c in ("NCBI_tax_id", "clade_taxid") if c in df.columns]
+    return df.drop(*drop)
+
+
+def prepare_label_covariates(
+    metadata_pdf: pd.DataFrame, feature_type: str
+) -> tuple[np.ndarray, np.ndarray | None, list[str]]:
+    """Label vector + one-hot covariate matrix aligned to metadata row order."""
+    label = metadata_pdf["feature_of_interest"].to_numpy()
+    if feature_type == "numeric":
+        label = label.astype(np.float64)
+    cov_cols = [
+        c for c in metadata_pdf.columns if c not in ("subject_id", "feature_of_interest")
+    ]
+    cov = None
+    if cov_cols:
+        cov = pd.get_dummies(metadata_pdf[cov_cols], dummy_na=False).to_numpy(
+            dtype=np.float64
+        )
+    return label, cov, cov_cols
+
+
+def taxa_hfe(
+    metadata: DataFrame,
+    hierarchical_long: DataFrame,
+    params: CompetitionParams | None = None,
+    filter_prevalence: float = 0.01,
+    filter_mean_abundance: float = 0.0,
+    from_reference_levels: bool = False,
+) -> tuple[DataFrame, pd.DataFrame]:
+    """Run the full HFE collapse.
+
+    metadata: (subject_id, feature_of_interest, covariates...) — small, used
+    both to prune entities (reference lib/tree.R:177-178) and as the RF design.
+    hierarchical_long: (clade_name, entity_id, value) long frame
+    (use taxonomy.melt_wide_matrix for reference-shaped wide CSVs).
+
+    Returns (resolved long frame with per-node values, node-state pandas frame
+    with winner/sf_winner flags and audit outcomes).
+    """
+    params = params or CompetitionParams()
+    if from_reference_levels:
+        params = replace(
+            params, lowest_level=params.lowest_level - 1, max_level=params.max_level - 1
+        )
+
+    meta_pdf = metadata.toPandas()
+    meta_pdf["subject_id"] = meta_pdf["subject_id"].map(clean_entity)
+    entity_ids = meta_pdf["subject_id"].tolist()
+
+    # entity pruning to metadata subjects (left-semi in long layout)
+    spark = metadata.sparkSession
+    ids_df = spark.createDataFrame([(e,) for e in entity_ids], ["entity_id"])
+    long = hierarchical_long.withColumn(
+        "entity_id", clean_entity_expr("entity_id")
+    ).join(F.broadcast(ids_df), "entity_id", "left_semi")
+
+    resolved = hierarchical_rollup(long).persist()
+    flags = feature_filter_flags(
+        resolved, len(entity_ids), filter_prevalence, filter_mean_abundance
+    )
+    flags_pdf = flags.select("path", "level", "passed_filters").toPandas()
+
+    vectors = to_feature_vectors(resolved, entity_ids)
+    label, cov, _ = prepare_label_covariates(meta_pdf, params.feature_type)
+
+    comp = TreeCompetition(vectors, flags_pdf, label, cov, params)
+    state = comp.run()
+    return resolved, state
+
+
+def winner_feature_matrix(
+    resolved: DataFrame,
+    state: pd.DataFrame,
+    metadata: DataFrame | None = None,
+    use_super_filter: bool = False,
+) -> DataFrame:
+    """Collapsed output matrix: one row per entity, one column per winning
+    feature (reference lib/tree.R:880-950 prepare_flattened_df +
+    write_output_file). Winner count is small by construction, so the pivot
+    is a bounded-width groupBy."""
+    flag = "sf_winner" if use_super_filter else "winner"
+    winners = [r.path for r in state[state[flag]].itertuples()]
+    spark = resolved.sparkSession
+    if not winners:
+        base = resolved.select(F.col("entity_id").alias("subject_id")).distinct()
+    else:
+        base = (
+            resolved.filter(F.col("path").isin(winners))
+            .groupBy(F.col("entity_id").alias("subject_id"))
+            .pivot("path", winners)
+            .agg(F.first("value"))
+            .na.fill(0.0)
+        )
+        renames = {w: clean_name(w) for w in winners}
+        base = base.withColumnsRenamed(renames)
+    if metadata is not None:
+        meta = metadata.withColumn("subject_id", clean_entity_expr("subject_id"))
+        base = base.join(F.broadcast(meta), "subject_id", "inner")
+    return base
+
+
+def write_output_file(matrix: DataFrame, output_path: str) -> None:
+    """Final winner matrix sink (reference lib/tree.R:933-950)."""
+    matrix.coalesce(1).write.mode("overwrite").option("header", True).csv(output_path)
+
+
+def write_summary_files(
+    resolved: DataFrame, state: pd.DataFrame, flags_passed_only: bool, output_path: str
+) -> None:
+    """Per-level summary export (reference lib/tree.R:205-245), written as a
+    single parquet partitioned by level instead of one CSV per depth."""
+    keep = state[state["passed_filters"]]["path"] if flags_passed_only else state["path"]
+    out = resolved.filter(F.col("path").isin(keep.tolist()))
+    out.write.mode("overwrite").partitionBy("level").parquet(output_path)
