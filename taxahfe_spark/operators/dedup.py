@@ -1,0 +1,292 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All four families are expressed shuffle-consciously:
+
+- exact: hash the normalized text FIRST so the shuffle moves 8-byte keys,
+  not document bodies; keep the min id per group.
+- MinHash + LSH: shingle -> per-shingle xxhash64 with k seeds -> min per
+  seed (one map-side-combinable groupBy), band the signature, bucket-join on
+  (band_idx, band_hash). Candidate verification by signature-estimated
+  Jaccard. No driver participation at any step.
+- SimHash: 64 weighted bit-sums per doc from word hashes, banded into 4x16
+  bit chunks for Hamming<=3-style candidate generation.
+- n-gram Jaccard: exact pairwise Jaccard via inverted-index self-join with a
+  document-frequency cap (hot shingles are the skew killer at 100 TB — a
+  shingle in 10^6 docs creates 10^12 candidate pairs; the cap bounds it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from taxahfe_spark.tokens import words
+
+
+def normalize_text(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (min id) per exact normalized-text group."""
+    keyed = df.withColumn("__k", F.xxhash64(normalize_text(text_col)))
+    keep = keyed.groupBy("__k").agg(F.min(id_col).alias(id_col))
+    return keyed.join(keep, ["__k", id_col], "left_semi").drop("__k")
+
+
+def char_shingles(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Distinct k-char shingles per doc, as an exploded (doc, shingle) frame.
+    Built-ins only: sequence + transform + substring."""
+    norm = normalize_text(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - k + 1, F.lit(1))),
+        lambda i: norm.substr(i, F.lit(k)),
+    )
+    return df.withColumn("__shingles", F.array_distinct(sh))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<bigint>) MinHash signatures.
+
+    One explode + one groupBy; the k hash functions are xxhash64 seeded by a
+    literal lane index, evaluated JVM-side in the same projection.
+    """
+    sh = char_shingles(df, text_col, shingle_k).select(
+        id_col, F.explode("__shingles").alias("sh")
+    )
+    mins = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("sh"), F.lit(seed + i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) whose signature-estimated
+    Jaccard >= threshold. Bucket join on (band_idx, band_hash)."""
+    sig_len = sigs.select(F.size("sig")).first()[0]
+    rows_per_band = max(1, sig_len // num_bands)
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice("sig", b * rows_per_band + 1, rows_per_band).cast("string")
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.select(
+        F.col("id").alias("a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
+    )
+    b = banded.select(
+        F.col("id").alias("b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash"
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = pairs.withColumn(
+        "est_jaccard",
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.size("sig_a"),
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select("a", "b", "est_jaccard")
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Drop near-duplicates: any doc matched (est Jaccard >= threshold) to a
+    lower-id doc is removed. One-hop rule (no transitive closure — matches
+    common web-pipeline practice; closure needs an iterative min-propagation,
+    see connected_components)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+    pairs = minhash_lsh_pairs(sigs, id_col, num_bands, threshold)
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame, max_iters: int = 10
+) -> DataFrame:
+    """Cluster ids for duplicate pairs (a,b) via iterative min-label
+    propagation; returns (id, cluster). Converges in O(log n) rounds for
+    typical near-dup cluster shapes; each round is two shuffles."""
+    edges = pairs.select("a", "b").unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
+        "cluster", F.col("id")
+    )
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("cluster").alias("nbr_min"))
+        )
+        new = (
+            labels.join(prop, labels.id == prop.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce("nbr_min", F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        new = new.localCheckpoint(eager=True)  # truncate iterative lineage
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter("n.cluster != o.cluster")
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over word hashes, (id, simhash: bigint).
+
+    Weighted bit voting entirely in built-ins: explode words with counts,
+    64 conditional sums, reassemble the fingerprint with shiftleft/bitwise or.
+    """
+    wc = (
+        words(df, text_col)
+        .select(id_col, F.explode("words").alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.xxhash64("w"))
+    )
+    bit_sums = wc.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                    F.col("cnt"),
+                ).otherwise(-F.col("cnt"))
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return bit_sums.select(id_col, fp.alias("simhash"))
+
+
+def simhash_pairs(
+    fps: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Candidate pairs with Hamming distance <= max_hamming via 4x16-bit band
+    join (any pair within distance 3 shares at least one exact 16-bit chunk)."""
+    chunks = fps.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.select(F.col("id").alias("a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk")
+    b = chunks.select(F.col("id").alias("b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk")
+    cand = (
+        a.join(b, ["chunk_idx", "chunk"]).filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sh_a", "sh_b").distinct()
+    )
+    ham = cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+    return ham.filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """EXACT word-n-gram Jaccard similarity for pairs sharing >= 1 n-gram.
+
+    Inverted-index self-join; ``max_df`` drops n-grams present in more than
+    that many docs before pairing (bounds the quadratic blowup on boilerplate
+    n-grams — the documented coverage cap for this operator).
+    """
+    ng = (
+        words(df, text_col)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("words") - n + 1, F.lit(1))),
+                    lambda i: F.array_join(F.slice("words", i, n), " "),
+                )
+            ).alias("ng"),
+        )
+        .distinct()
+    )
+    if max_df is not None:
+        hot = ng.groupBy("ng").count().filter(F.col("count") > max_df).select("ng")
+        ng = ng.join(hot, "ng", "left_anti")
+    sizes = ng.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = ng.select(F.col(id_col).alias("a"), "ng")
+    b = ng.select(F.col(id_col).alias("b"), "ng")
+    inter = (
+        a.join(b, "ng").filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({id_col: "a", "sz": "sz_a"}), "a")
+        .join(sizes.withColumnsRenamed({id_col: "b", "sz": "sz_b"}), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")

@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- brute-force cosine top-k (the correctness baseline): broadcast the query
+  set, JVM-side dot products via zip_with/aggregate, per-query top-k window.
+- LSH-bucketed top-k (the scale path): random-hyperplane signatures bucket
+  the corpus; only same-bucket candidates are scored. Recall < 1 by design;
+  multiple hash tables raise it. Planes are generated from a seed on the
+  driver (tiny) and inlined as literals — no UDF, no shuffle of the corpus
+  beyond the bucket join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double"),
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+    )
+
+
+def cosine_similarity_col(a, b) -> F.Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k by cosine: (query_id, match_id, cosine, rank).
+
+    Query side is broadcast (ANN query batches are small relative to the
+    corpus); the corpus is scanned once with no shuffle before the per-query
+    top-k aggregation.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("c_vec"))
+    scored = c.join(F.broadcast(q)).withColumn(
+        "cosine", F.round(cosine_similarity_col("q_vec", "c_vec"), 8)
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("match_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 16,
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign pattern of <v, r_i> over n random hyperplanes packed into a long."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    sig = F.lit(0).cast("long")
+    for i in range(n_planes):
+        plane = F.array([F.lit(float(x)) for x in planes[i]])
+        bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return df.withColumn(out_col, sig)
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates share a hyperplane bucket in >=1 of
+    n_tables tables, then exact cosine rerank."""
+    def with_buckets(df, prefix, vcol):
+        out = df
+        for t in range(n_tables):
+            out = hyperplane_signature(
+                out, vcol, n_planes=n_planes, seed=seed + 131 * t,
+                out_col=f"{prefix}b{t}",
+            )
+        return out
+
+    q = with_buckets(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "q", "q_vec",
+    )
+    c = with_buckets(
+        corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("c_vec")),
+        "c", "c_vec",
+    )
+    qb = q.select(
+        "query_id", "q_vec",
+        F.posexplode(F.array(*[f"qb{t}" for t in range(n_tables)])).alias("table", "bucket"),
+    )
+    cb = c.select(
+        "match_id", "c_vec",
+        F.posexplode(F.array(*[f"cb{t}" for t in range(n_tables)])).alias("table", "bucket"),
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .select("query_id", "match_id", "q_vec", "c_vec")
+        .distinct()
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("match_id"))
+    scored = cand.withColumn(
+        "cosine", F.round(cosine_similarity_col("q_vec", "c_vec"), 8)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine", "rank")
+    )

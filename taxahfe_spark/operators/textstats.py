@@ -1,0 +1,115 @@
+"""Text analysis operators: quality stats, heuristic language ID, token
+counting, document fingerprinting. Pure built-in expressions — every column
+is JVM-side and whole-stage-codegen'd; no Python in the hot path."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from taxahfe_spark.tokens import words
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "was", "with", "on", "as", "are", "this"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "den", "von", "zu", "im", "sich", "des"],
+    "fr": ["le", "la", "les", "et", "des", "est", "un", "une", "dans", "que", "pour", "qui", "sur", "pas", "au"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "en", "que", "por", "con", "del", "se", "no"],
+}
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality statistics + a composite [0,1] quality score.
+
+    Heuristics follow the public web-corpus filtering literature (length,
+    symbol ratios, stopword density, repetition).
+    """
+    t = F.col(text_col)
+    dw = words(df, text_col)
+    n_chars = F.length(t)
+    n_words = F.size("words")
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    safe_words = F.greatest(n_words, F.lit(1))
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
+    n_upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    out = dw.select(
+        "*",
+        n_chars.alias("n_chars_"),
+        n_words.alias("n_words"),
+        (n_chars / safe_words).alias("mean_word_len"),
+        (n_alpha / safe_chars).alias("alpha_ratio"),
+        (n_digit / safe_chars).alias("digit_ratio"),
+        (n_punct / safe_chars).alias("punct_ratio"),
+        (n_upper / safe_chars).alias("upper_ratio"),
+        (F.size(F.array_intersect("words", sw)) / F.lit(float(len(STOPWORDS["en"]))))
+        .alias("stopword_coverage"),
+        (F.size(F.array_distinct("words")) / safe_words).alias("unique_word_ratio"),
+    ).drop("words")
+    quality = (
+        F.least(F.col("n_words") / F.lit(20.0), F.lit(1.0)) * 0.25
+        + F.col("alpha_ratio") * 0.25
+        + (F.lit(1.0) - F.least(F.col("digit_ratio") * 4, F.lit(1.0))) * 0.15
+        + F.col("stopword_coverage") * 0.15
+        + F.col("unique_word_ratio") * 0.20
+    )
+    return out.withColumn("quality_score", F.round(quality, 6))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: stopword-list hit counts per language, argmax
+    (ties -> lexicographically first language; no hits -> 'unknown')."""
+    dw = words(df, text_col)
+    hits = [
+        F.size(
+            F.array_intersect("words", F.array([F.lit(w) for w in wl]))
+        ).alias(f"hits_{lang}")
+        for lang, wl in sorted(STOPWORDS.items())
+    ]
+    scored = dw.select("*", *hits)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{la}") for la in langs])
+    pred = F.lit("unknown")
+    for la in reversed(langs):  # earlier langs win ties -> apply in reverse
+        pred = F.when((F.col(f"hits_{la}") == best) & (best > 0), F.lit(la)).otherwise(pred)
+    return scored.withColumn("lang_pred", pred).drop("words")
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token-count features: whitespace words, BPE-ish subword estimate
+    (alnum runs + symbols), chars-per-token."""
+    t = F.col(text_col)
+    dw = words(df, text_col)
+    n_words = F.size("words")
+    # BPE-ish proxy: count alnum runs plus non-space symbols (public rule of
+    # thumb ~4 chars/token for English)
+    bpe_units = F.size(
+        F.filter(F.split(t, r"(?<=\W)|(?=\W)"), lambda s: F.trim(s) != "")
+    )
+    return dw.select(
+        "*",
+        n_words.alias("n_words"),
+        bpe_units.alias("n_bpe_units"),
+        F.ceil(F.length(t) / F.lit(4.0)).cast("long").alias("n_tok_est4"),
+    ).drop("words")
+
+
+def doc_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    n_mins: int = 8,
+) -> DataFrame:
+    """Winnowing-style fingerprint: the n smallest word-k-gram hashes per doc
+    as a sorted array (rolling-hash family; robust to local edits)."""
+    dw = words(df, text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("words") - k + 1, F.lit(1))),
+        lambda i: F.xxhash64(F.array_join(F.slice("words", i, k), " ")),
+    )
+    return dw.select(
+        id_col,
+        F.slice(F.array_sort(F.array_distinct(grams)), 1, n_mins).alias("fingerprint"),
+    )

@@ -1,0 +1,167 @@
+"""Tokenized-sequence layer: the graft's authoritative input shape
+(doc_id:string, tokens:array<int32>, n_tok:int32, source:string) and the
+operators that generalize taxaHFE's abundance vectors to token statistics.
+
+The mapping (SURVEY.md §7.1): "sample" -> entity x timestamp, "feature
+abundance vector" -> per-taxon token counts rolled up a broadcast taxonomy
+over token ids, "metadata label" -> point-in-time joined label table.
+
+Because only LEAVES are observed in token space (a token maps to exactly one
+leaf clade per snapshot), the full multi-level rollup collapses to ONE
+ancestor-prefix explode + ONE groupBy — no level loop and no observed-wins
+arbitration needed. The level loop in taxonomy.hierarchical_rollup is only
+required when mid-level rows can be observed (the microbiome CSV case).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from taxahfe_spark.operators.asof import asof_join
+from taxahfe_spark.taxonomy import explode_ancestors
+
+TOKEN_RE = r"[^\p{L}\p{N}]+"  # split on non-alphanumeric runs (unicode)
+
+
+def words(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """text -> words array (lowercased, non-alnum delimited, empties dropped)."""
+    arr = F.split(F.lower(F.col(text_col)), TOKEN_RE)
+    return df.withColumn("words", F.filter(arr, lambda w: w != ""))
+
+
+def build_vocab(df_words: DataFrame) -> DataFrame:
+    """Deterministic vocabulary (word -> token_id int32, dense 0-based by
+    lexicographic word order). Engine-independent: any system sorting the
+    same distinct words assigns the same ids (used by the DuckDB oracle)."""
+    distinct = df_words.select(F.explode("words").alias("word")).distinct()
+    w = Window.orderBy("word")
+    # row_number over a global window is a single-partition sort of the
+    # DISTINCT words only (vocab-sized, not corpus-sized)
+    return distinct.select(
+        "word", (F.row_number().over(w) - 1).cast("int").alias("token_id")
+    )
+
+
+def tokenize(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """documents -> tokenized sequences (doc_id, tokens array<int32>, n_tok,
+    + extra_cols). Token order preserves word order (posexplode + array_sort
+    on (pos, id) pairs — no UDF)."""
+    dw = words(df, text_col)
+    vocab = vocab or build_vocab(dw)
+    exploded = dw.select(
+        id_col, *(extra_cols or []), F.posexplode("words").alias("pos", "word")
+    )
+    joined = exploded.join(F.broadcast(vocab), "word", "inner")
+    return (
+        joined.groupBy(id_col, *(extra_cols or []))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("token_id")))
+            ).alias("_pt")
+        )
+        .select(
+            id_col,
+            *(extra_cols or []),
+            F.transform("_pt", lambda s: s["token_id"]).alias("tokens"),
+            F.size("_pt").cast("int").alias("n_tok"),
+        )
+    )
+
+
+def assert_n_tok_invariant(seqs: DataFrame) -> None:
+    """Per-row invariant from BASELINE.json input_hint: n_tok == size(tokens)."""
+    bad = seqs.filter(F.size("tokens") != F.col("n_tok")).count()
+    if bad:
+        raise AssertionError(f"n_tok invariant violated on {bad} rows")
+
+
+def token_count_rollup(
+    seqs: DataFrame,
+    taxonomy: DataFrame,
+    id_col: str = "doc_id",
+    relative: bool = False,
+) -> DataFrame:
+    """Per-document taxon counts at EVERY taxonomy level.
+
+    seqs: (doc_id, tokens array<int>); taxonomy: (token_id, clade_path) —
+    broadcast (taxonomies are <=1e5 rows even at 10^12 sequences).
+
+    Plan shape: explode(tokens) -> broadcast join -> ancestor explode ->
+    one map-side-combined groupBy. A single shuffle keyed by (doc, path);
+    output is the long abundance frame the HFE competition consumes.
+    """
+    tok = seqs.select(id_col, F.explode("tokens").alias("token_id"))
+    leaf = tok.join(F.broadcast(taxonomy), "token_id", "inner")
+    anc = explode_ancestors(leaf.select(id_col, F.col("clade_path").alias("path")), "path")
+    counts = (
+        anc.groupBy(
+            F.col(id_col).alias("entity_id"),
+            F.col("anc_path").alias("path"),
+            F.col("anc_level").alias("level"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    if relative:
+        w = Window.partitionBy("entity_id", "level")
+        counts = counts.withColumn("value", F.col("value") / F.sum("value").over(w))
+    return counts.select("path", "level", "entity_id", "value")
+
+
+def point_in_time_token_features(
+    events: DataFrame,
+    snapshots: DataFrame,
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    relative: bool = False,
+) -> DataFrame:
+    """Zero-leakage token rollup against versioned taxonomy snapshots.
+
+    events: (doc_id, ts, tokens array<int>); snapshots: (snapshot_ts,
+    token_id, clade_path) — multiple global taxonomy versions.
+
+    Each (doc, ts) row is matched to the latest snapshot with
+    snapshot_ts <= ts, then its tokens are rolled up under THAT version's
+    paths. Snapshot assignment is a broadcast as-of probe on a constant key
+    (the snapshot-version list is tiny), so the fact table is never shuffled
+    for version resolution; the only shuffle is the final count groupBy.
+    """
+    versions = (
+        snapshots.select("snapshot_ts")
+        .distinct()
+        .withColumn("__snap", F.col("snapshot_ts"))
+    )
+    tagged = (
+        asof_join(
+            events.withColumn("__g", F.lit(1)),
+            versions.withColumn("__g", F.lit(1)),
+            on="__g",
+            left_ts=ts_col,
+            right_ts="snapshot_ts",
+            value_cols=["__snap"],
+            strategy="broadcast",
+        )
+        .drop("__g")
+        .withColumnRenamed("__snap", "snapshot_ts")
+        .filter(F.col("snapshot_ts").isNotNull())
+    )
+    tok = tagged.select(
+        id_col, ts_col, "snapshot_ts", F.explode("tokens").alias("token_id")
+    )
+    leaf = tok.join(F.broadcast(snapshots), ["snapshot_ts", "token_id"], "inner")
+    anc = explode_ancestors(
+        leaf.select(id_col, ts_col, F.col("clade_path").alias("path")), "path"
+    )
+    counts = anc.groupBy(
+        id_col, ts_col, F.col("anc_path").alias("path"), F.col("anc_level").alias("level")
+    ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+    if relative:
+        w = Window.partitionBy(id_col, ts_col, "level")
+        counts = counts.withColumn("value", F.col("value") / F.sum("value").over(w))
+    return counts

@@ -1,0 +1,202 @@
+"""Tests for dedup, text stats, similarity, multimodal plumbing — on the
+real documents/embeddings testdata plus engineered cases."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from taxahfe_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from taxahfe_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from taxahfe_spark.operators.textstats import (
+    doc_fingerprint,
+    language_id,
+    text_stats,
+    token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other"), (4, "hello world ")],
+        ["doc_id", "text"],
+    )
+    kept = exact_dedup(df)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_minhash_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different content about spark engines " * 8
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    sigs = minhash_signatures(df)
+    pairs = minhash_lsh_pairs(sigs, threshold=0.5).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert (1, 2) in found
+    assert (1, 3) not in found and (2, 3) not in found
+    kept = minhash_dedup(df, threshold=0.5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], ["a", "b"]
+    )
+    cc = {r["id"]: r["cluster"] for r in connected_components(pairs).collect()}
+    assert cc[1] == cc[2] == cc[3] == 1
+    assert cc[7] == cc[8] == 7
+
+
+def test_simhash_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base.replace("dog", "dogs", 2)
+    far = "unrelated text about query optimizers and shuffles " * 10
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    fps = simhash(df)
+    pairs = simhash_pairs(fps, max_hamming=6).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert (1, 2) in found
+    assert (1, 3) not in found
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "one two three four five six"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
+    found = {(r["a"], r["b"]): r["jaccard"] for r in pairs}
+    assert (1, 2) in found
+    # docs 1,2: 4 trigrams each, 3 shared -> jaccard 3/5
+    assert found[(1, 2)] == pytest.approx(0.6)
+    assert not any(3 in k for k in found)
+
+
+def test_text_stats_and_quality(docs):
+    st = text_stats(docs)
+    row = st.first()
+    assert 0.0 <= row["quality_score"] <= 1.0
+    assert st.filter("n_words <= 0").count() == 0
+    assert st.count() == docs.count()
+
+
+def test_language_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and it is happy"),
+            (2, "der Hund ist nicht mit der Katze im Haus"),
+            (3, "le chat est dans la maison pour les vacances"),
+            (4, "el perro es una mascota en la casa"),
+            (5, "zzz qqq xxx"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "unknown"}
+
+
+def test_token_counts(docs):
+    tc = token_counts(docs)
+    row = tc.filter("n_chars > 20").first()
+    assert row["n_words"] > 0 and row["n_bpe_units"] >= row["n_words"]
+
+
+def test_doc_fingerprint_stability(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j"), (3, "x y z w v u t s r q")],
+        ["doc_id", "text"],
+    )
+    fps = {r["doc_id"]: tuple(r["fingerprint"]) for r in doc_fingerprint(df).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_cosine_topk_vs_numpy(emb):
+    queries = emb.filter("vec_id < 3")
+    got = cosine_topk(queries, emb, k=5).toPandas()
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    for qid in [0, 1, 2]:
+        qv = mat[ids == qid][0]
+        cos = mat @ qv / (norms * np.linalg.norm(qv) + 1e-300)
+        order = [
+            int(ids[i])
+            for i in sorted(range(len(ids)), key=lambda i: (-round(cos[i], 8), ids[i]))
+            if ids[i] != qid
+        ][:5]
+        gq = got[got["query_id"] == qid].sort_values("rank")["match_id"].tolist()
+        assert gq == order
+
+
+def test_lsh_topk_finds_planted_neighbors(spark, emb):
+    # LSH recalls STRONG neighbors; plant a near-duplicate (cos ~0.99) of
+    # each query into the corpus and require the approximate path to find it
+    pdf = emb.toPandas()
+    rng = np.random.default_rng(5)
+    q = pdf[pdf["vec_id"] < 10]
+    planted = []
+    for _, r in q.iterrows():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        twin = v + rng.normal(0, 0.02 * np.linalg.norm(v) / np.sqrt(len(v)), len(v))
+        planted.append((int(r["vec_id"]) + 100000, twin.astype(np.float32).tolist(), 0))
+    corpus = emb.unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>, label int")
+    )
+    approx = lsh_cosine_topk(
+        emb.filter("vec_id < 10"), corpus, k=3, n_planes=10, n_tables=8
+    ).toPandas()
+    hits = 0
+    for qid in range(10):
+        a = set(approx[approx["query_id"] == qid]["match_id"])
+        hits += int(qid + 100000 in a)
+    assert hits >= 8  # recall>=0.8 on planted strong neighbors
+
+
+def test_multimodal_plumbing(spark):
+    from taxahfe_spark.operators.multimodal import (
+        extract_media_features,
+        frame_sample_plan,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=30)
+    feats = extract_media_features(media, dim=16)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(r["ok"] and len(r["feature"]) == 16 for r in rows)
+    # determinism across runs
+    again = {r["media_id"]: r["feature"] for r in extract_media_features(media, dim=16).collect()}
+    first = {r["media_id"]: r["feature"] for r in rows}
+    assert first == again
+    plan = frame_sample_plan(media, every_ms=5000)
+    assert plan.count() > 0
+    assert plan.filter("frame_ts_ms < 0").count() == 0

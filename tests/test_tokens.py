@@ -1,0 +1,101 @@
+"""Tokenized-sequence layer tests: vocab determinism, token order, n_tok
+invariant, taxonomy count rollup, point-in-time snapshot correctness."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from taxahfe_spark.tokens import (
+    assert_n_tok_invariant,
+    build_vocab,
+    point_in_time_token_features,
+    token_count_rollup,
+    tokenize,
+    words,
+)
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat"),
+    (3, "cat dog cat"),
+]
+
+
+@pytest.fixture(scope="module")
+def seqs(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    return tokenize(df, "text", "doc_id").cache()
+
+
+def test_tokenize_order_and_invariant(spark, seqs):
+    vocab = {
+        r["word"]: r["token_id"]
+        for r in build_vocab(words(spark.createDataFrame(DOCS, ["doc_id", "text"]))).collect()
+    }
+    # vocab must be dense lexicographic: cat dog mat on sat the
+    assert vocab == {"cat": 0, "dog": 1, "mat": 2, "on": 3, "sat": 4, "the": 5}
+    rows = {r["doc_id"]: r for r in seqs.collect()}
+    assert rows[1]["tokens"] == [5, 0, 4, 3, 5, 2]  # order preserved
+    assert rows[3]["tokens"] == [0, 1, 0]
+    assert rows[1]["n_tok"] == 6
+    assert_n_tok_invariant(seqs)
+
+
+def test_token_count_rollup(spark, seqs):
+    tax = spark.createDataFrame(
+        [
+            (0, "animal|feline|cat"),
+            (1, "animal|canine|dog"),
+            (2, "object|mat"),
+            (3, "misc|on"),
+            (4, "verb|sat"),
+            (5, "misc|the"),
+        ],
+        ["token_id", "clade_path"],
+    )
+    counts = token_count_rollup(seqs, tax)
+    got = {
+        (r["entity_id"], r["path"]): r["value"] for r in counts.collect()
+    }
+    assert got[(3, "animal")] == 3.0  # 2 cat + 1 dog
+    assert got[(3, "animal|feline|cat")] == 2.0
+    assert got[(1, "misc")] == 3.0  # 2 the + 1 on
+    assert (2, "object|mat") not in got  # doc 2 has no mat
+
+
+def test_point_in_time_token_features(spark):
+    # token 0's clade CHANGES between snapshots: a leaked join is detectable
+    events = spark.createDataFrame(
+        [("d1", 10, [0, 0, 1]), ("d1", 100, [0, 1, 1]), ("d2", 5, [0])],
+        "doc_id string, ts long, tokens array<int>",
+    )
+    snaps = spark.createDataFrame(
+        [
+            (8, 0, "old|zero"), (8, 1, "old|one"),
+            (50, 0, "new|zero"), (50, 1, "new|one"),
+        ],
+        "snapshot_ts long, token_id int, clade_path string",
+    )
+    got = point_in_time_token_features(events, snaps)
+    rows = {(r["doc_id"], r["ts"], r["path"]): r["value"] for r in got.collect()}
+    # ts=10 -> snapshot 8 (old), ts=100 -> snapshot 50 (new), ts=5 -> none
+    assert rows[("d1", 10, "old")] == 3.0
+    assert rows[("d1", 10, "old|zero")] == 2.0
+    assert rows[("d1", 100, "new")] == 3.0
+    assert ("d1", 100, "old") not in rows
+    assert not any(k[0] == "d2" for k in rows)  # no snapshot at ts=5 -> no leak
+
+
+def test_relative_abundance(spark, seqs):
+    tax = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(["a|cat", "a|dog", "b|mat", "b|on", "b|sat", "b|the"])],
+        ["token_id", "clade_path"],
+    )
+    rel = token_count_rollup(seqs, tax, relative=True)
+    sums = (
+        rel.groupBy("entity_id", "level").agg(F.sum("value").alias("s")).collect()
+    )
+    for r in sums:
+        assert r["s"] == pytest.approx(1.0)
