@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship HFE collapse end-to-end on sf0.001;
+``queries()`` exposes one callable per implemented operator family
+(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for
+every SQL-expressible query (hash/randomized operators are rows-only).
+
+Column names and float rounding are mirrored EXACTLY between each Spark
+query and its oracle (the driver hashes values after sorting columns by
+name).
 """
 
 from __future__ import annotations
@@ -12,27 +15,896 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EN_STOP = ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "was", "with", "on", "as", "are", "this"]
+DE_STOP = ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "den", "von", "zu", "im", "sich", "des"]
+FR_STOP = ["le", "la", "les", "et", "des", "est", "un", "une", "dans", "que", "pour", "qui", "sur", "pas", "au"]
+ES_STOP = ["el", "la", "los", "las", "y", "es", "un", "una", "en", "que", "por", "con", "del", "se", "no"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship: full taxaHFE collapse (rollup -> filters -> corr prune -> RF
+# competition -> winner matrix) on a hierarchy derived from sf0.001
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = "/root/testdata/sf0.001"
+    from taxahfe_spark.operators.competition import CompetitionParams
+    from taxahfe_spark.pipeline import taxa_hfe, winner_feature_matrix
+
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    su, na, re = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    cu = _t(spark, sf_dir, "customer")
+    long = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(na, su.s_nationkey == na.n_nationkey)
+        .join(re, na.n_regionkey == re.r_regionkey)
+        .groupBy(
+            F.concat_ws("|", "r_name", "n_name", "s_name").alias("clade_name"),
+            F.col("o_custkey").alias("entity_id"),
+        )
+        .agg(F.sum("l_quantity").alias("value"))
+    )
+    meta = cu.select(
+        F.col("c_custkey").cast("string").alias("subject_id"),
+        F.when(F.col("c_acctbal") > 0, F.lit("pos")).otherwise(F.lit("neg")).alias(
+            "feature_of_interest"
+        ),
+    )
+    params = CompetitionParams(lowest_level=1, nperm=2, num_trees=30, seed=42)
+    resolved, state = taxa_hfe(meta, long, params=params, filter_prevalence=0.05)
+    return winner_feature_matrix(resolved, state, metadata=meta)
+
+
+# --------------------------------------------------------------------------
+# query implementations
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cu, na = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "n_name",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def _hfe_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy: region|nation|customer leaves valued by acctbal per market
+    segment, plus OBSERVED mid-level rows for nations with key%3==0 whose
+    values deliberately differ from the child sum (observed-wins exercise)."""
+    cu, na, re = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    segs = cu.select(F.col("c_mktsegment").alias("entity_id")).distinct()
+    leaves = (
+        cu.join(na, cu.c_nationkey == na.n_nationkey)
+        .join(re, na.n_regionkey == re.r_regionkey)
+        .groupBy(
+            F.concat_ws("|", "r_name", "n_name", "c_name").alias("clade_name"),
+            F.col("c_mktsegment").alias("entity_id"),
+        )
+        .agg(F.sum("c_acctbal").alias("value"))
+    )
+    obs2 = (
+        na.join(re, na.n_regionkey == re.r_regionkey)
+        .filter(F.col("n_nationkey") % 3 == 0)
+        .crossJoin(segs)
+        .select(
+            F.concat_ws("|", "r_name", "n_name").alias("clade_name"),
+            "entity_id",
+            (
+                (F.col("n_nationkey") + 1) * 100.0 + F.length("entity_id")
+            ).cast("double").alias("value"),
+        )
+    )
+    return leaves.unionByName(obs2)
+
+
+def q_hfe_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taxahfe_spark.taxonomy import hierarchical_rollup
+
+    resolved = hierarchical_rollup(_hfe_long(spark, sf_dir), clean_paths=False)
+    return resolved.select(
+        "path",
+        F.col("level").cast("long").alias("level"),
+        "entity_id",
+        F.round("value", 4).alias("value"),
+        "observed",
+    )
+
+
+def q_hfe_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taxahfe_spark.operators.filters import feature_filter_flags
+    from taxahfe_spark.taxonomy import hierarchical_rollup
+
+    long = _hfe_long(spark, sf_dir)
+    n_entities = long.select("entity_id").distinct().count()
+    resolved = hierarchical_rollup(long, clean_paths=False)
+    return feature_filter_flags(resolved, n_entities, 0.4, 1000.0).select(
+        "path",
+        F.col("level").cast("long").alias("level"),
+        F.col("prevalence").cast("long").alias("prevalence"),
+        F.round("mean_abundance", 4).alias("mean_abundance"),
+        "passed_prevalence",
+        "passed_abundance",
+        "passed_filters",
+    )
+
+
+def _orders_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("snap_ts")
+        )
+        .agg(F.max("o_totalprice").alias("o_totalprice"))
+    )
+
+
+def q_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taxahfe_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = asof_join(
+        ev, _orders_snap(spark, sf_dir), on="user_id", left_ts="ts",
+        right_ts="snap_ts", value_cols=["o_totalprice"], strategy="union",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.round("o_totalprice", 2).alias("last_order_price")
+    )
+
+
+def q_asof_events_orders_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taxahfe_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = asof_join(
+        ev, _orders_snap(spark, sf_dir), on="user_id", left_ts="ts",
+        right_ts="snap_ts", value_cols=["o_totalprice"], strategy="union", n_salt=8,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.round("o_totalprice", 2).alias("last_order_price")
+    )
+
+
+def q_asof_events_orders_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taxahfe_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = asof_join(
+        ev, _orders_snap(spark, sf_dir), on="user_id", left_ts="ts",
+        right_ts="snap_ts", value_cols=["o_totalprice"], strategy="broadcast",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.round("o_totalprice", 2).alias("last_order_price")
+    )
+
+
+_ASOF_ORACLE = """
+WITH snap AS (
+  SELECT o_custkey AS user_id, o_orderdate AS snap_ts,
+         max(o_totalprice) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       round(s.o_totalprice, 2) AS last_order_price
+FROM events e ASOF LEFT JOIN snap s
+  ON e.user_id = s.user_id AND e.ts >= s.snap_ts
+"""
+
+
+def q_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taxahfe_spark.operators.windows import lag_lead_features
+
+    ev = _t(spark, sf_dir, "events")
+    out = lag_lead_features(ev, "user_id", "ts", ["value"], tiebreak="event_id")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round("value", 4).alias("value"),
+        F.round("value_lag1", 4).alias("value_lag1"),
+        F.round("value_lead1", 4).alias("value_lead1"),
+        F.round("value_delta", 4).alias("value_delta"),
+    )
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taxahfe_spark.operators.windows import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, "user_id", "ts", 3600.0, tiebreak="event_id").select(
+        "event_id", "user_id", "ts", "session_id"
+    )
+
+
+def q_session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taxahfe_spark.operators.windows import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_stats(
+        ev, "user_id", "ts", 3600.0, agg_cols={"value": "sum"}, tiebreak="event_id"
+    )
+    return out.select(
+        "user_id", "session_id", "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("duration_seconds", 3).alias("duration_seconds"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def q_locf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taxahfe_spark.operators.windows import locf
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "click_value", F.when(F.col("event_type") == "click", F.col("value"))
+    )
+    out = locf(ev, "user_id", "ts", ["click_value"], tiebreak="event_id")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round("click_value", 4).alias("click_value"),
+        F.round("click_value_filled", 4).alias("click_value_locf"),
+    )
+
+
+def q_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taxahfe_spark.operators.windows import per_key_slope
+
+    ev = _t(spark, sf_dir, "events")
+    out = per_key_slope(ev, "user_id", "ts", "value")
+    return out.select(
+        "user_id",
+        F.round((F.col("slope") * 1e6), 6).alias("slope_per_mega_sec"),
+        F.round("mean_value", 6).alias("mean_value"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+    )
+
+
+def q_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taxahfe_spark.tokens import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    seqs = tokenize(docs, "text", "doc_id")
+    return seqs.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, v: a + v).alias("tok_sum"),
+        F.col("tokens")[0].cast("long").alias("tok_first"),
+        F.element_at("tokens", -1).cast("long").alias("tok_last"),
+    )
+
+
+_TOKENIZE_ORACLE = """
+WITH dw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents
+),
+vocab AS (
+  SELECT word, CAST(row_number() OVER (ORDER BY word) - 1 AS BIGINT) AS token_id
+  FROM (SELECT DISTINCT unnest(words) AS word FROM dw)
+),
+ex AS (SELECT doc_id, unnest(words) AS word FROM dw),
+sums AS (
+  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(v.token_id) AS BIGINT) AS tok_sum
+  FROM ex e JOIN vocab v USING (word) GROUP BY 1
+),
+fl AS (
+  SELECT dw.doc_id, vf.token_id AS tok_first, vl.token_id AS tok_last
+  FROM dw
+  JOIN vocab vf ON vf.word = dw.words[1]
+  JOIN vocab vl ON vl.word = dw.words[-1]
+  WHERE len(dw.words) > 0
+)
+SELECT s.doc_id, s.n_tok, s.tok_sum, f.tok_first, f.tok_last
+FROM sums s JOIN fl f USING (doc_id)
+"""
+
+
+def q_token_rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taxahfe_spark.tokens import build_vocab, token_count_rollup, tokenize, words
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(words(docs, "text"))
+    seqs = tokenize(docs, "text", "doc_id", vocab=vocab)
+    tax = vocab.select(
+        "token_id",
+        F.concat_ws("|", F.substring("word", 1, 1), "word").alias("clade_path"),
+    )
+    out = token_count_rollup(seqs, tax)
+    return out.select(
+        F.col("entity_id").cast("long").alias("doc_id"),
+        "path",
+        F.col("level").cast("long").alias("level"),
+        F.col("value").alias("cnt"),
+    )
+
+
+_TOKEN_ROLLUP_ORACLE = """
+WITH dw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(words) AS word FROM dw),
+l2 AS (
+  SELECT doc_id, substr(word,1,1) || '|' || word AS path, 2 AS level,
+         CAST(count(*) AS DOUBLE) AS cnt
+  FROM ex GROUP BY 1, 2
+),
+l1 AS (
+  SELECT doc_id, substr(word,1,1) AS path, 1 AS level,
+         CAST(count(*) AS DOUBLE) AS cnt
+  FROM ex GROUP BY 1, 2
+)
+SELECT doc_id, path, CAST(level AS BIGINT) AS level, cnt FROM l2
+UNION ALL
+SELECT doc_id, path, CAST(level AS BIGINT) AS level, cnt FROM l1
+"""
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taxahfe_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+_EXACT_DEDUP_ORACLE = """
+WITH k AS (
+  SELECT *, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+),
+keep AS (SELECT norm, min(doc_id) AS doc_id FROM k GROUP BY 1)
+SELECT k.doc_id, k.lang, k.source FROM k JOIN keep USING (norm, doc_id)
+"""
+
+
+def q_text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taxahfe_spark.operators.textstats import text_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("upper_ratio", 6).alias("upper_ratio"),
+        F.round("stopword_coverage", 6).alias("stopword_coverage"),
+        F.round("unique_word_ratio", 6).alias("unique_word_ratio"),
+        F.round("quality_score", 4).alias("quality_score"),
+    )
+
+
+_EN_LIST = "[" + ",".join(f"'{w}'" for w in EN_STOP) + "]"
+_TEXT_QUALITY_ORACLE = f"""
+WITH dw AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents
+),
+st AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS alpha_ratio,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS digit_ratio,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS upper_ratio,
+         CAST(len(list_intersect(words, {_EN_LIST})) AS DOUBLE) / 16.0 AS stopword_coverage,
+         CAST(len(list_distinct(words)) AS DOUBLE) / greatest(len(words), 1) AS unique_word_ratio
+  FROM dw
+)
+SELECT doc_id, n_words,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(digit_ratio, 6) AS digit_ratio,
+       round(upper_ratio, 6) AS upper_ratio,
+       round(stopword_coverage, 6) AS stopword_coverage,
+       round(unique_word_ratio, 6) AS unique_word_ratio,
+       round(round(
+         least(n_words / 20.0, 1.0) * 0.25
+         + alpha_ratio * 0.25
+         + (1.0 - least(digit_ratio * 4, 1.0)) * 0.15
+         + stopword_coverage * 0.15
+         + unique_word_ratio * 0.20, 6), 4) AS quality_score
+FROM st
+"""
+
+
+def q_language_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taxahfe_spark.operators.textstats import language_id
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return language_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+def _lang_oracle() -> str:
+    lists = {
+        "de": DE_STOP, "en": EN_STOP, "es": ES_STOP, "fr": FR_STOP,
+    }
+    hit_cols = ",\n         ".join(
+        f"len(list_intersect(words, [{','.join(repr(w) for w in wl)}])) AS hits_{lang}"
+        for lang, wl in lists.items()
+    )
+    langs = sorted(lists)
+    best = f"greatest({', '.join('hits_' + la for la in langs)})"
+    case = "CASE "
+    for la in langs:
+        case += f"WHEN hits_{la} = {best} AND {best} > 0 THEN '{la}' "
+    case += "ELSE 'unknown' END"
+    return f"""
+WITH dw AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents
+),
+h AS (
+  SELECT doc_id, lang,
+         {hit_cols}
+  FROM dw
+)
+SELECT doc_id, lang, {case} AS lang_pred FROM h
+"""
+
+
+def q_token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taxahfe_spark.operators.textstats import token_counts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_counts(docs).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_tok_est4").cast("long").alias("n_tok_est4"),
+    )
+
+
+_TOKEN_COUNTS_ORACLE = """
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_words,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tok_est4
+FROM documents
+"""
+
+
+def q_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taxahfe_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2, max_df=None)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_NGRAM_JACCARD_ORACLE = """
+WITH dw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents
+),
+ng AS (
+  SELECT DISTINCT doc_id, ng FROM (
+    SELECT doc_id,
+           unnest([array_to_string(words[i:i+2], ' ')
+                   for i in range(1, greatest(len(words) - 2, 1) + 1)]) AS ng
+    FROM dw
+  )
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM ng x JOIN ng y USING (ng)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+"""
+
+
+def q_cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taxahfe_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb.filter("vec_id < 20"), emb, k=5)
+    return out.select(
+        "query_id", "match_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_COSINE_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS match_id, embedding AS c_vec FROM embeddings),
+dots AS (
+  SELECT query_id, match_id,
+         list_aggregate(list_transform(list_zip(q_vec, c_vec),
+             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') AS dot,
+         sqrt(list_aggregate(list_transform(q_vec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS nq,
+         sqrt(list_aggregate(list_transform(c_vec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS nc
+  FROM c CROSS JOIN q
+  WHERE query_id <> match_id
+),
+scored AS (
+  SELECT query_id, match_id, round(dot / nullif(nq * nc, 0), 8) AS cosine
+  FROM dots
+),
+ranked AS (
+  SELECT query_id, match_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, match_id, round(cosine, 4) AS cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_pit_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time token rollup: docs become (doc, ts) events, the word
+    taxonomy has two snapshot versions (prefix v1/v2) so leakage is
+    detectable: ts in [100,200) must see v1, >= 200 must see v2."""
+    from taxahfe_spark.tokens import (
+        build_vocab,
+        point_in_time_token_features,
+        tokenize,
+        words,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(words(docs, "text"))
+    seqs = tokenize(docs, "text", "doc_id")
+    events = seqs.select(
+        "doc_id", (F.lit(100) + F.col("doc_id") % 200).cast("long").alias("ts"), "tokens"
+    )
+    snaps = vocab.select(
+        F.lit(100).cast("long").alias("snapshot_ts"),
+        "token_id",
+        F.concat(F.lit("v1|"), F.substring("word", 1, 1)).alias("clade_path"),
+    ).unionByName(
+        vocab.select(
+            F.lit(200).cast("long").alias("snapshot_ts"),
+            "token_id",
+            F.concat(F.lit("v2|"), F.substring("word", 1, 1)).alias("clade_path"),
+        )
+    )
+    out = point_in_time_token_features(events, snaps, "doc_id", "ts")
+    return out.select(
+        "doc_id", "ts", "path",
+        F.col("level").cast("long").alias("level"),
+        F.col("value").alias("cnt"),
+    )
+
+
+_PIT_ORACLE = """
+WITH dw AS (
+  SELECT doc_id, 100 + doc_id % 200 AS ts,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, ts,
+         CASE WHEN ts >= 200 THEN 'v2' ELSE 'v1' END AS ver,
+         unnest(words) AS word
+  FROM dw
+),
+l2 AS (
+  SELECT doc_id, ts, ver || '|' || substr(word,1,1) AS path, 2 AS level,
+         CAST(count(*) AS DOUBLE) AS cnt
+  FROM ex GROUP BY 1, 2, 3
+),
+l1 AS (
+  SELECT doc_id, ts, ver AS path, 1 AS level, CAST(count(*) AS DOUBLE) AS cnt
+  FROM ex GROUP BY 1, 2, 3
+)
+SELECT doc_id, CAST(ts AS BIGINT) AS ts, path, CAST(level AS BIGINT) AS level, cnt FROM l2
+UNION ALL
+SELECT doc_id, CAST(ts AS BIGINT) AS ts, path, CAST(level AS BIGINT) AS level, cnt FROM l1
+"""
+
+
+def q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taxahfe_spark.operators.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs, threshold=0.8).select("doc_id", "lang", "source")
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taxahfe_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs).select("doc_id", "simhash")
+
+
+def q_hfe_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full HFE collapse (RF competition; randomized-model decisions are not
+    SQL-expressible -> rows-only check)."""
+    from taxahfe_spark.operators.competition import CompetitionParams
+    from taxahfe_spark.pipeline import taxa_hfe, winner_feature_matrix
+
+    cu = _t(spark, sf_dir, "customer")
+    meta = cu.select(
+        F.col("c_custkey").cast("string").alias("subject_id"),
+        F.when(F.col("c_acctbal") > 0, F.lit("pos")).otherwise(F.lit("neg")).alias(
+            "feature_of_interest"
+        ),
+    )
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    su, na, re = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    long = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(na, su.s_nationkey == na.n_nationkey)
+        .join(re, na.n_regionkey == re.r_regionkey)
+        .groupBy(
+            F.concat_ws("|", "r_name", "n_name", "s_name").alias("clade_name"),
+            F.col("o_custkey").alias("entity_id"),
+        )
+        .agg(F.sum("l_quantity").alias("value"))
+    )
+    params = CompetitionParams(lowest_level=1, nperm=2, num_trees=30, seed=42)
+    resolved, state = taxa_hfe(meta, long, params=params, filter_prevalence=0.05)
+    return winner_feature_matrix(resolved, state, metadata=meta)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_customers_window": q_top_customers,
+        "hfe_rollup": q_hfe_rollup,
+        "hfe_filters": q_hfe_filters,
+        "asof_events_orders": q_asof_events_orders,
+        "asof_events_orders_salted": q_asof_events_orders_salted,
+        "asof_events_orders_broadcast": q_asof_events_orders_broadcast,
+        "lag_lead_events": q_lag_lead_events,
+        "sessionize_events": q_sessionize_events,
+        "session_stats_events": q_session_stats_events,
+        "locf_events": q_locf_events,
+        "slope_per_user": q_slope_per_user,
+        "tokenize_docs": q_tokenize_docs,
+        "token_rollup_docs": q_token_rollup_docs,
+        "pit_token_features": q_pit_token_features,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "text_quality_docs": q_text_quality_docs,
+        "language_id_docs": q_language_id_docs,
+        "token_counts_docs": q_token_counts_docs,
+        "ngram_jaccard_docs": q_ngram_jaccard_docs,
+        "cosine_topk_embeddings": q_cosine_topk_embeddings,
+        "minhash_dedup_docs": q_minhash_dedup_docs,
+        "simhash_docs": q_simhash_docs,
+        "hfe_collapse": q_hfe_collapse,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_HFE_ROLLUP_ORACLE = """
+WITH segs AS (SELECT DISTINCT c_mktsegment AS entity_id FROM customer),
+leaves AS (
+  SELECT r_name || '|' || n_name || '|' || c_name AS path,
+         c_mktsegment AS entity_id,
+         CAST(sum(c_acctbal) AS DOUBLE) AS value
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+),
+obs2 AS (
+  SELECT r_name || '|' || n_name AS path, s.entity_id,
+         CAST((n_nationkey + 1) * 100.0 + length(s.entity_id) AS DOUBLE) AS value
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  CROSS JOIN segs s
+  WHERE n_nationkey % 3 = 0
+),
+l3 AS (SELECT path, 3 AS level, entity_id, value, TRUE AS observed FROM leaves),
+roll2 AS (
+  SELECT regexp_replace(path, '\\|[^|]*$', '') AS path, entity_id,
+         sum(value) AS value
+  FROM l3 GROUP BY 1, 2
+),
+l2 AS (
+  SELECT path, 2 AS level, entity_id, value, TRUE AS observed FROM obs2
+  UNION ALL
+  SELECT r.path, 2, r.entity_id, r.value, FALSE
+  FROM roll2 r WHERE r.path NOT IN (SELECT DISTINCT path FROM obs2)
+),
+l1 AS (
+  SELECT regexp_replace(path, '\\|[^|]*$', '') AS path, 1 AS level, entity_id,
+         sum(value) AS value, FALSE AS observed
+  FROM l2 GROUP BY 1, 2, 3
+)
+SELECT path, CAST(level AS BIGINT) AS level, entity_id,
+       round(value, 4) AS value, observed
+FROM (SELECT * FROM l3 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l1)
+"""
+
+_HFE_FILTERS_ORACLE = """
+WITH segs AS (SELECT DISTINCT c_mktsegment AS entity_id FROM customer),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_entities FROM segs),
+leaves AS (
+  SELECT r_name || '|' || n_name || '|' || c_name AS path,
+         c_mktsegment AS entity_id,
+         CAST(sum(c_acctbal) AS DOUBLE) AS value
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+),
+obs2 AS (
+  SELECT r_name || '|' || n_name AS path, s.entity_id,
+         CAST((n_nationkey + 1) * 100.0 + length(s.entity_id) AS DOUBLE) AS value
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  CROSS JOIN segs s
+  WHERE n_nationkey % 3 = 0
+),
+l3 AS (SELECT path, 3 AS level, entity_id, value FROM leaves),
+roll2 AS (
+  SELECT regexp_replace(path, '\\|[^|]*$', '') AS path, entity_id, sum(value) AS value
+  FROM l3 GROUP BY 1, 2
+),
+l2 AS (
+  SELECT path, 2 AS level, entity_id, value FROM obs2
+  UNION ALL
+  SELECT r.path, 2, r.entity_id, r.value
+  FROM roll2 r WHERE r.path NOT IN (SELECT DISTINCT path FROM obs2)
+),
+l1 AS (
+  SELECT regexp_replace(path, '\\|[^|]*$', '') AS path, 1 AS level, entity_id,
+         sum(value) AS value
+  FROM l2 GROUP BY 1, 2, 3
+),
+allv AS (SELECT * FROM l3 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l1)
+SELECT path, CAST(level AS BIGINT) AS level,
+       CAST(sum(CASE WHEN value <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS prevalence,
+       round(sum(value) / (SELECT n_entities FROM n), 4) AS mean_abundance,
+       sum(CASE WHEN value <> 0 THEN 1 ELSE 0 END) > (SELECT n_entities FROM n) * 0.4 AS passed_prevalence,
+       sum(value) / (SELECT n_entities FROM n) > 1000.0 AS passed_abundance,
+       (sum(CASE WHEN value <> 0 THEN 1 ELSE 0 END) > (SELECT n_entities FROM n) * 0.4)
+         AND (sum(value) / (SELECT n_entities FROM n) > 1000.0) AS passed_filters
+FROM allv GROUP BY 1, 2
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "top_customers_window": """
+            SELECT n_name, c_custkey, round(c_acctbal, 2) AS acctbal, rnk FROM (
+              SELECT n_name, c_custkey, c_acctbal,
+                     CAST(row_number() OVER (
+                       PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey ASC
+                     ) AS BIGINT) AS rnk
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+            ) WHERE rnk <= 3
+        """,
+        "hfe_rollup": _HFE_ROLLUP_ORACLE,
+        "hfe_filters": _HFE_FILTERS_ORACLE,
+        "asof_events_orders": _ASOF_ORACLE,
+        "asof_events_orders_salted": _ASOF_ORACLE,
+        "asof_events_orders_broadcast": _ASOF_ORACLE,
+        "lag_lead_events": """
+            SELECT event_id, user_id, ts,
+                   round(value, 4) AS value,
+                   round(lag(value) OVER w, 4) AS value_lag1,
+                   round(lead(value) OVER w, 4) AS value_lead1,
+                   round(value - lag(value) OVER w, 4) AS value_delta
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "sessionize_events": """
+            SELECT event_id, user_id, ts,
+                   CAST(sum(is_new) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+            FROM (
+              SELECT *, CASE WHEN prev IS NULL OR epoch(ts) - prev > 3600
+                             THEN 1 ELSE 0 END AS is_new
+              FROM (
+                SELECT event_id, user_id, ts,
+                       lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM events
+              )
+            )
+        """,
+        "session_stats_events": """
+            WITH s AS (
+              SELECT user_id, ts, value,
+                     CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+              FROM (
+                SELECT *, CASE WHEN prev IS NULL OR epoch(ts) - prev > 3600
+                               THEN 1 ELSE 0 END AS is_new
+                FROM (
+                  SELECT event_id, user_id, ts, value,
+                         lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                  FROM events
+                )
+              )
+            )
+            SELECT user_id, session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(max(epoch(ts)) - min(epoch(ts)), 3) AS duration_seconds,
+                   round(sum(value), 4) AS sum_value
+            FROM s GROUP BY 1, 2
+        """,
+        "locf_events": """
+            SELECT event_id, user_id, ts,
+                   round(click_value, 4) AS click_value,
+                   round(last_value(click_value IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING), 4) AS click_value_locf
+            FROM (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN event_type = 'click' THEN value END AS click_value
+              FROM events
+            )
+        """,
+        "slope_per_user": """
+            SELECT user_id,
+                   round(coalesce(covar_samp(value, epoch(ts))
+                         / nullif(var_samp(epoch(ts)), 0), 0) * 1e6, 6) AS slope_per_mega_sec,
+                   round(avg(value), 6) AS mean_value,
+                   CAST(count(*) AS BIGINT) AS n_obs
+            FROM events GROUP BY 1
+        """,
+        "tokenize_docs": _TOKENIZE_ORACLE,
+        "token_rollup_docs": _TOKEN_ROLLUP_ORACLE,
+        "pit_token_features": _PIT_ORACLE,
+        "exact_dedup_docs": _EXACT_DEDUP_ORACLE,
+        "text_quality_docs": _TEXT_QUALITY_ORACLE,
+        "language_id_docs": _lang_oracle(),
+        "token_counts_docs": _TOKEN_COUNTS_ORACLE,
+        "ngram_jaccard_docs": _NGRAM_JACCARD_ORACLE,
+        "cosine_topk_embeddings": _COSINE_ORACLE,
+        # minhash_dedup_docs / simhash_docs / hfe_collapse: hash- or
+        # RF-randomized -> rows-only checks (intentionally no oracle)
+    }

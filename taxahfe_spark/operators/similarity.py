@@ -18,16 +18,22 @@ from pyspark.sql import functions as F
 
 
 def _dot(a, b) -> F.Column:
+    # cast BEFORE multiplying: float32*float32 loses precision pre-sum and
+    # breaks bit-parity with engines that accumulate in double
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
-        lambda acc, v: acc + v.cast("double"),
+        lambda acc, v: acc + v,
     )
 
 
 def _norm(a) -> F.Column:
     return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
     )
 
 

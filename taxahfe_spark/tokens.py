@@ -21,12 +21,14 @@ from pyspark.sql import functions as F
 from taxahfe_spark.operators.asof import asof_join
 from taxahfe_spark.taxonomy import explode_ancestors
 
-TOKEN_RE = r"[^\p{L}\p{N}]+"  # split on non-alphanumeric runs (unicode)
+# ASCII-only split so word boundaries are engine-independent (the same
+# pattern means the same thing to Spark, DuckDB, and Python re)
+TOKEN_RE = r"[^a-z0-9]+"
 
 
-def words(df: DataFrame, text_col: str = "text") -> DataFrame:
+def words(df: DataFrame, text_col: str = "text", pattern: str = TOKEN_RE) -> DataFrame:
     """text -> words array (lowercased, non-alnum delimited, empties dropped)."""
-    arr = F.split(F.lower(F.col(text_col)), TOKEN_RE)
+    arr = F.split(F.lower(F.col(text_col)), pattern)
     return df.withColumn("words", F.filter(arr, lambda w: w != ""))
 
 
