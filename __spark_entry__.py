@@ -680,7 +680,9 @@ def q_hfe_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("l_quantity").alias("value"))
     )
-    params = CompetitionParams(lowest_level=1, nperm=2, num_trees=30, seed=42)
+    params = CompetitionParams(
+        lowest_level=1, nperm=4, num_trees=5, seed=42, super_filter_nperm_factor=4
+    )
     resolved, state = taxa_hfe(meta, long, params=params, filter_prevalence=0.05)
     return winner_feature_matrix(resolved, state, metadata=meta)
 

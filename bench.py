@@ -43,6 +43,7 @@ def _suite(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
         t0 = time.time()
         rows = qs[name](spark, sf_dir).count()
         out[name] = (round(time.time() - t0, 3), rows)
+        print(f"# {name}: {out[name][0]}s {rows} rows", file=sys.stderr, flush=True)
     return out
 
 

@@ -99,14 +99,15 @@ def _grow_tree(
     mtry: int,
     min_node: int,
     importance: np.ndarray,
+    max_depth: int = 16,
 ) -> None:
     """Grow one CART on a bootstrap sample, accumulating impurity importance."""
     n, p = codes.shape
     boot = rng.integers(0, n, n)
-    stack = [boot]
+    stack = [(boot, 0)]
     while stack:
-        idx = stack.pop()
-        if idx.size < max(2, min_node):
+        idx, depth = stack.pop()
+        if idx.size < max(2, min_node) or depth >= max_depth:
             continue
         ynode = y[idx]
         if classification:
@@ -127,8 +128,8 @@ def _grow_tree(
             continue
         importance[best_f] += best_dec / n
         mask = codes[idx, best_f] <= best_b
-        stack.append(idx[mask])
-        stack.append(idx[~mask])
+        stack.append((idx[mask], depth + 1))
+        stack.append((idx[~mask], depth + 1))
 
 
 def forest_importance(
@@ -140,6 +141,7 @@ def forest_importance(
     min_node: int | None = None,
     seed: int = 0,
     corrected: bool = True,
+    max_depth: int = 16,
 ) -> np.ndarray:
     """Averaged (optionally shadow-corrected) impurity importance, shape (p,).
 
@@ -157,7 +159,11 @@ def forest_importance(
         yv = np.asarray(y, dtype=np.float64)
         n_classes = 0
     if min_node is None:
-        min_node = 1 if classification else 5
+        # ranger-parity (1 / 5) for small n; adaptive floor for big n so the
+        # importance competition stays tractable on 10^4+ samples (tree depth
+        # and split count dominate; importance RANKING is what's consumed)
+        base = 1 if classification else 5
+        min_node = max(base, n // 512)
     base_codes = _bin_features(X)
     p_eff = 2 * p if corrected else p
     if mtry is None:
@@ -169,7 +175,9 @@ def forest_importance(
         if corrected:
             for j in range(p):
                 codes[:, p + j] = base_codes[rng.permutation(n), j]
-        _grow_tree(codes, yv, rng, classification, n_classes, mtry, min_node, imp)
+        _grow_tree(
+            codes, yv, rng, classification, n_classes, mtry, min_node, imp, max_depth
+        )
     imp /= num_trees
     if corrected:
         return imp[:p] - imp[p:]

@@ -7,15 +7,22 @@ Spark's execution model:
 
 - post-order traversal -> driver loop over levels, deepest first; within a
   level every competition (one per competing parent node) touches a disjoint
-  subtree, so the whole level runs as ONE ``applyInPandas`` fan-out.
-- node bookkeeping (flags, outcomes, winner sets) is taxonomy-sized (<=1e5
-  rows) and lives in driver pandas — the analog of the reference's node
-  graph. The per-entity abundance VECTORS are the big data and stay
-  distributed; each competition group ships only its own competitors'
-  vectors through Arrow.
-- all randomness derives from ``hash(seed, parent_path)`` so results are
-  partition-layout-invariant and reproducible (reference roots everything in
-  one set.seed, lib/options.R:225).
+  subtree, so a whole level fans out in parallel.
+- each level runs TWO grouped-map stages: (1) a correlation stage, one Arrow
+  group per competition, and (2) an RF-importance stage, one group per
+  (competition x permutation-chunk). Chunking the nperm averaged fits across
+  groups is what keeps the engine scalable: the reference runs nperm (and
+  nperm*10 for the super filter) ranger fits SERIALLY per node; here every
+  fit is an independent executor task, so wall time is bounded by one fit,
+  not nperm fits - and the lone super-filter competition no longer
+  serializes the whole job (Amdahl).
+- ALL decision semantics live driver-side on taxonomy-sized data: the UDFs
+  return plain numbers (correlations, importances), never decisions. The
+  per-entity abundance VECTORS are the big data and stay distributed; each
+  group ships only its own competitors' vectors through Arrow.
+- all randomness derives from ``hash(seed, parent_path) + chunk``, so
+  results are partition-layout-invariant and reproducible (reference roots
+  everything in one set.seed, lib/options.R:225).
 
 Decision semantics preserved exactly (each is a unit-tested one-character
 trap): strict-> filters gate competition; no-children / max_level /
@@ -38,6 +45,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from taxahfe_spark.functions.rf import forest_importance
+from taxahfe_spark.taxonomy import sparse_to_dense
+
+import os
+import sys
+import time
+
+_DEBUG_TIMING = os.environ.get("TAXAHFE_DEBUG_TIMING") == "1"
+
+
+def _tlog(msg: str) -> None:
+    if _DEBUG_TIMING:
+        print(f"[timing] {msg}", file=sys.stderr, flush=True)
 
 
 @dataclass
@@ -47,9 +66,8 @@ class CompetitionParams:
     corr_threshold: float = 0.95
     corr_method: str = "pearson"  # reference default; "spearman" supported
     feature_type: str = "factor"  # "factor" (classification) | "numeric"
-    nperm: int = 4  # reference default 40; engine default lower because
-    # num_trees*nperm is what controls variance
-    num_trees: int = 100
+    nperm: int = 4  # averaged fits per competition == parallel chunks
+    num_trees: int = 100  # trees per fit (reference ranger default 500)
     seed: int = 42
     disable_super_filter: bool = False
     super_filter_nperm_factor: int = 10  # reference: nperm*10 for the final RF
@@ -70,13 +88,19 @@ class NodeState:
     outcomes: list[str] = field(default_factory=list)
 
 
-_RESULT_SCHEMA = T.StructType(
+_CORR_SCHEMA = T.StructType(
     [
         T.StructField("competition_id", T.StringType()),
         T.StructField("path", T.StringType()),
-        T.StructField("role", T.StringType()),  # parent | descendant
-        T.StructField("result", T.StringType()),  # win | loss | pruned
-        T.StructField("outcome", T.StringType()),
+        T.StructField("corr", T.DoubleType()),
+    ]
+)
+
+_IMP_SCHEMA = T.StructType(
+    [
+        T.StructField("competition_id", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("importance", T.DoubleType()),
     ]
 )
 
@@ -128,105 +152,79 @@ def _decide_final(names: list[str], importance: np.ndarray) -> list[str]:
     return [n for n, v in zip(names, importance) if v > mean_imp and v > 0]
 
 
-def make_compete_udf(
+def make_corr_udf(corr_method: str, n_entities: int):
+    """Per-competition correlation vs the parent (group = one competition)."""
+
+    def corr_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = pdf["competition_id"].iloc[0]
+        vecs = {
+            r.path: sparse_to_dense(r.idxs, r.vals, n_entities)
+            for r in pdf.itertuples()
+        }
+        parent_path = pdf.loc[pdf["is_parent"], "path"].iloc[0]
+        desc = sorted(p for p in vecs if p != parent_path)
+        if not desc:
+            return pd.DataFrame(columns=[f.name for f in _CORR_SCHEMA.fields])
+        mat = np.column_stack([vecs[parent_path]] + [vecs[p] for p in desc])
+        r = _corr_with_parent(mat, corr_method)
+        return pd.DataFrame(
+            {"competition_id": cid, "path": desc, "corr": r.astype(np.float64)}
+        )
+
+    return corr_fn
+
+
+def make_importance_udf(
     label: np.ndarray,
     covariates: np.ndarray | None,
     params: CompetitionParams,
-    final_mode: bool = False,
 ):
-    """Build the per-competition grouped-map function.
+    """One forest fit per group. Group key = "<parent>#<chunk>"; competitor
+    order is deterministic (parent first, then sorted descendants) so the
+    importance-to-path mapping is stable across layouts.
 
     label/covariates are aligned to the canonical entity order of the
-    ``values`` vectors and are closure-captured (tiny; Spark pickles them to
-    executors once per stage — the broadcast-variable idiom for small state).
+    ``values`` vectors and closure-captured (tiny; pickled to executors once
+    per stage - the broadcast-variable idiom for small state).
     """
     classification = params.feature_type == "factor"
-    nperm = params.nperm * (params.super_filter_nperm_factor if final_mode else 1)
 
-    def compete(pdf: pd.DataFrame) -> pd.DataFrame:
+    n_entities = len(label)
+
+    def imp_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         cid = pdf["competition_id"].iloc[0]
-        out: list[tuple[str, str, str, str, str]] = []
-        vecs = {r.path: np.asarray(r.values, dtype=np.float64) for r in pdf.itertuples()}
-
-        if final_mode:
-            comp_names = sorted(vecs)  # deterministic order
-            mat = np.column_stack([vecs[n] for n in comp_names])
-            imp = _run_forest(mat, comp_names)
-            winners = set(_decide_final(comp_names, imp))
-            wstr = ",".join(sorted(winners))
-            lstr = ",".join(sorted(set(comp_names) - winners))
-            oc = f"winners: {wstr}; losers: {lstr}"
-            for n in comp_names:
-                res = "win" if n in winners else "loss"
-                kind = "final rf winner" if n in winners else "final rf loser"
-                out.append((cid, n, "descendant", res, f"{res}: {kind}, {oc}"))
-            return pd.DataFrame(out, columns=[f.name for f in _RESULT_SCHEMA.fields])
-
-        parent_row = pdf[pdf["is_parent"]]
-        parent_path = parent_row["path"].iloc[0]
-        desc_paths = sorted(p for p in vecs if p != parent_path)
-
-        # correlation prune (>= threshold, signed; NaN never prunes)
-        mat = np.column_stack([vecs[parent_path]] + [vecs[p] for p in desc_paths])
-        r = _corr_with_parent(mat, params.corr_method)
-        pruned = [p for p, ri in zip(desc_paths, r) if not np.isnan(ri) and ri >= params.corr_threshold]
-        survivors = [p for p in desc_paths if p not in pruned]
-        for p in pruned:
-            out.append(
-                (cid, p, "descendant", "pruned",
-                 f"loss: highly correlated to ancestor {parent_path.rsplit('|', 1)[-1]}")
-            )
-        if not survivors:
-            names = ", ".join(p.rsplit("|", 1)[-1] for p in desc_paths)
-            out.append(
-                (cid, parent_path, "parent", "win",
-                 f"win: all descendant winners highly correlated, {names}")
-            )
-            return pd.DataFrame(out, columns=[f.name for f in _RESULT_SCHEMA.fields])
-
-        comp_names = [parent_path] + survivors
-        mat = np.column_stack([vecs[n] for n in comp_names])
-        imp = _run_forest(mat, comp_names)
-        winners = set(_decide_parent_descendant(comp_names, imp, parent_path))
-        wstr = ",".join(sorted(n.rsplit("|", 1)[-1] for n in winners))
-        lstr = ",".join(sorted(n.rsplit("|", 1)[-1] for n in set(comp_names) - winners))
-        oc = f"winners: {wstr}; losers: {lstr}"
-        for n in comp_names:
-            role = "parent" if n == parent_path else "descendant"
-            if n in winners:
-                out.append((cid, n, role, "win", f"win: rf winner, {oc}"))
-            else:
-                out.append((cid, n, role, "loss", f"loss: rf loser, {oc}"))
-        return pd.DataFrame(out, columns=[f.name for f in _RESULT_SCHEMA.fields])
-
-    def _run_forest(mat: np.ndarray, comp_names: list[str]) -> np.ndarray:
-        """nperm seeded forests, averaged importance; covariates appended to
-        the design matrix but excluded from the returned ranking (reference
-        lib/tree.R:741-744, 806-809)."""
-        X = mat
+        parent_key, chunk = cid.rsplit("#", 1)
+        vecs = {
+            r.path: sparse_to_dense(r.idxs, r.vals, n_entities)
+            for r in pdf.itertuples()
+        }
+        is_parent = dict(zip(pdf["path"], pdf["is_parent"]))
+        parents = [p for p, isp in is_parent.items() if isp]
+        names = parents + sorted(p for p in vecs if not is_parent[p])
+        X = np.column_stack([vecs[n] for n in names])
         n_feat = X.shape[1]
         if covariates is not None and covariates.size:
             X = np.column_stack([X, covariates])
-        base = group_seed(params.seed, comp_names[0] if len(comp_names) else "_")
-        imps = np.zeros(n_feat)
-        for k in range(nperm):
-            imps += forest_importance(
-                X,
-                label,
-                classification=classification,
-                num_trees=params.num_trees,
-                seed=base + 7919 * k,
-            )[:n_feat]
-        return imps / nperm
+        seed = group_seed(params.seed, parent_key) + 7919 * int(chunk)
+        imp = forest_importance(
+            X,
+            label,
+            classification=classification,
+            num_trees=params.num_trees,
+            seed=seed,
+        )[:n_feat]
+        return pd.DataFrame(
+            {"competition_id": cid, "path": names, "importance": imp}
+        )
 
-    return compete
+    return imp_fn
 
 
 class TreeCompetition:
     """Level-by-level tree competition over a distributed vector frame.
 
-    vectors: DataFrame (path, level, values array<double>) — from
-    taxonomy.to_feature_vectors, entity order == order of ``label``.
+    vectors: DataFrame (path, level, idxs, vals) - SPARSE, from
+    taxonomy.to_feature_vectors; entity index order == order of ``label``.
     flags:   pandas (path -> level, passed_filters) from feature_filter_flags.
     """
 
@@ -277,9 +275,74 @@ class TreeCompetition:
             self._super_filter()
         return self.state_frame()
 
+    # -- stage runners -------------------------------------------------------
+
+    def _grouped(self, assignments: list[tuple[str, str, bool]]) -> DataFrame:
+        spark = self.vectors.sparkSession
+        adf = spark.createDataFrame(
+            assignments, "competition_id string, path string, is_parent boolean"
+        )
+        return self.vectors.join(F.broadcast(adf), "path", "inner").repartition(
+            "competition_id"
+        )
+
+    def _run_corr(self, comps: dict[str, list[str]]) -> dict[str, dict[str, float]]:
+        """comps: parent -> descendant winners. Returns parent -> {desc: r}."""
+        assignments = []
+        for parent, descs in comps.items():
+            assignments.append((parent, parent, True))
+            assignments.extend((parent, d, False) for d in descs)
+        t0 = time.time()
+        rows = (
+            self._grouped(assignments)
+            .groupBy("competition_id")
+            .applyInPandas(
+                make_corr_udf(self.params.corr_method, len(self.label)), _CORR_SCHEMA
+            )
+            .collect()
+        )
+        _tlog(f"corr stage: {len(assignments)} assignments, {len(comps)} comps, {time.time()-t0:.2f}s")
+        out: dict[str, dict[str, float]] = {p: {} for p in comps}
+        for r in rows:
+            out[r["competition_id"]][r["path"]] = r["corr"]
+        return out
+
+    def _run_importance(
+        self, comps: dict[str, tuple[str | None, list[str]]], n_chunks: int
+    ) -> dict[str, dict[str, float]]:
+        """comps: key -> (parent_path | None, competitor list). Fans out
+        n_chunks forest fits per competition; returns key -> {path: avg imp}.
+        """
+        assignments = []
+        for key, (parent, competitors) in comps.items():
+            for k in range(n_chunks):
+                cid = f"{key}#{k}"
+                if parent is not None:
+                    assignments.append((cid, parent, True))
+                assignments.extend((cid, c, False) for c in competitors)
+        fn = make_importance_udf(self.label, self.covariates, self.params)
+        t0 = time.time()
+        rows = (
+            self._grouped(assignments)
+            .groupBy("competition_id")
+            .applyInPandas(fn, _IMP_SCHEMA)
+            .collect()
+        )
+        _tlog(f"importance stage: {len(comps)} comps x {n_chunks} chunks, {time.time()-t0:.2f}s")
+        sums: dict[str, dict[str, float]] = {}
+        for r in rows:
+            key = r["competition_id"].rsplit("#", 1)[0]
+            sums.setdefault(key, {}).setdefault(r["path"], 0.0)
+            sums[key][r["path"]] += r["importance"]
+        return {
+            key: {p: v / n_chunks for p, v in d.items()} for key, d in sums.items()
+        }
+
+    # -- level competition ---------------------------------------------------
+
     def _compete_level(self, lvl: int) -> None:
         p = self.params
-        assignments: list[tuple[str, str, bool]] = []  # (competition_id, path, is_parent)
+        comps: dict[str, list[str]] = {}  # parent -> descendant winners
         for path, node in self.nodes.items():
             if node.level != lvl:
                 continue
@@ -300,41 +363,61 @@ class TreeCompetition:
                 node.outcomes.append("win: no descendant winners")
                 node.winner = True
                 continue
-            assignments.append((path, path, True))
-            assignments.extend((path, d, False) for d in dws)
-        if not assignments:
+            comps[path] = dws
+        if not comps:
             return
-        self._run_competitions(assignments, final_mode=False)
 
-    def _run_competitions(
-        self, assignments: list[tuple[str, str, bool]], final_mode: bool
-    ) -> None:
-        spark = self.vectors.sparkSession
-        adf = spark.createDataFrame(
-            assignments, "competition_id string, path string, is_parent boolean"
-        )
-        grouped = self.vectors.join(F.broadcast(adf), "path", "inner")
-        fn = make_compete_udf(self.label, self.covariates, self.params, final_mode)
-        results = (
-            grouped.repartition("competition_id")
-            .groupBy("competition_id")
-            .applyInPandas(fn, _RESULT_SCHEMA)
-            .collect()  # one row per competitor — taxonomy-sized, tiny
-        )
-        for row in results:
-            node = self.nodes[row["path"]]
-            node.outcomes.append(row["outcome"])
-            if final_mode:
-                node.sf_winner = row["result"] == "win"
-                continue
-            if row["result"] == "win":
+        # stage 1: correlation prune (reference lib/tree.R:505-545)
+        corrs = self._run_corr(comps)
+        rf_comps: dict[str, tuple[str | None, list[str]]] = {}
+        for parent, descs in comps.items():
+            pname = parent.rsplit("|", 1)[-1]
+            pruned, survivors = [], []
+            for d in descs:
+                r = corrs.get(parent, {}).get(d)
+                if r is not None and not np.isnan(r) and r >= p.corr_threshold:
+                    pruned.append(d)
+                else:
+                    survivors.append(d)
+            for d in pruned:
+                nd = self.nodes[d]
+                nd.winner = False
+                nd.highly_correlated = True
+                nd.outcomes.append(f"loss: highly correlated to ancestor {pname}")
+            if not survivors:
+                names = ", ".join(d.rsplit("|", 1)[-1] for d in descs)
+                node = self.nodes[parent]
                 node.winner = True
-            elif row["result"] == "loss":
-                node.winner = False
-                node.lost_rf = True
-            elif row["result"] == "pruned":
-                node.winner = False
-                node.highly_correlated = True
+                node.outcomes.append(
+                    f"win: all descendant winners highly correlated, {names}"
+                )
+                continue
+            rf_comps[parent] = (parent, survivors)
+        if not rf_comps:
+            return
+
+        # stage 2: RF importance, nperm chunks per competition
+        imps = self._run_importance(rf_comps, max(1, p.nperm))
+        for parent, (_, survivors) in rf_comps.items():
+            names = [parent] + sorted(survivors)
+            avg = np.array([imps[parent][n] for n in names])
+            winners = set(_decide_parent_descendant(names, avg, parent))
+            wstr = ",".join(sorted(n.rsplit("|", 1)[-1] for n in winners))
+            lstr = ",".join(
+                sorted(n.rsplit("|", 1)[-1] for n in set(names) - winners)
+            )
+            oc = f"winners: {wstr}; losers: {lstr}"
+            for n in names:
+                node = self.nodes[n]
+                if n in winners:
+                    node.winner = True
+                    node.outcomes.append(f"win: rf winner, {oc}")
+                else:
+                    node.winner = False
+                    node.lost_rf = True
+                    node.outcomes.append(f"loss: rf loser, {oc}")
+
+    # -- super filter --------------------------------------------------------
 
     def _super_filter(self) -> None:
         # nearest winners from the virtual root == the full winner antichain
@@ -347,8 +430,23 @@ class TreeCompetition:
                 competitors.extend(self.descendant_winners(rt))
         if not competitors:
             return
-        assignments = [("__final__", c, False) for c in competitors]
-        self._run_competitions(assignments, final_mode=True)
+        p = self.params
+        n_chunks = max(1, p.nperm * p.super_filter_nperm_factor)
+        imps = self._run_importance({"__final__": (None, competitors)}, n_chunks)
+        names = sorted(imps["__final__"])
+        avg = np.array([imps["__final__"][n] for n in names])
+        winners = set(_decide_final(names, avg))
+        wstr = ",".join(sorted(winners))
+        lstr = ",".join(sorted(set(names) - winners))
+        oc = f"winners: {wstr}; losers: {lstr}"
+        for n in names:
+            node = self.nodes[n]
+            if n in winners:
+                node.sf_winner = True
+                node.outcomes.append(f"win: final rf winner, {oc}")
+            else:
+                node.sf_winner = False
+                node.outcomes.append(f"loss: final rf loser, {oc}")
 
     def state_frame(self) -> pd.DataFrame:
         rows = [

@@ -64,9 +64,16 @@ def minhash_signatures(
     sh = char_shingles(df, text_col, shingle_k).select(
         id_col, F.explode("__shingles").alias("sh")
     )
+    # explode inflates rows ~1000x: a narrow input (one parquet partition)
+    # would hash 64 lanes single-threaded without this spread
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = sh.repartition(par, id_col)
+    # hash the STRING once; derive the k lanes by re-hashing the 8-byte
+    # value (string hashing dominates the cost at k=64)
+    sh = sh.select(id_col, F.xxhash64("sh", F.lit(seed)).alias("h0"))
     mins = sh.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64(F.col("sh"), F.lit(seed + i))).alias(f"h{i}")
+            F.min(F.xxhash64(F.col("h0"), F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -80,10 +87,23 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     num_bands: int = 16,
     threshold: float = 0.8,
+    sig_len: int | None = None,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) whose signature-estimated
-    Jaccard >= threshold. Bucket join on (band_idx, band_hash)."""
-    sig_len = sigs.select(F.size("sig")).first()[0]
+    Jaccard >= threshold. Bucket join on (band_idx, band_hash).
+
+    The signature frame feeds BOTH sides of the self-join (and sig_len when
+    not given) — persist it so the shingle+hash DAG runs once, not 3x.
+
+    ``max_bucket_size`` drops band buckets larger than the cap before the
+    self-join: a bucket of m docs yields m^2/2 candidate pairs, so one
+    boilerplate-heavy bucket can dominate the whole job (the documented
+    coverage cap for this operator — same role as ngram max_df).
+    """
+    sigs = sigs.persist()
+    if sig_len is None:
+        sig_len = sigs.select(F.size("sig")).first()[0]
     rows_per_band = max(1, sig_len // num_bands)
     banded = sigs.select(
         F.col(id_col).alias("id"),
@@ -97,18 +117,31 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band_idx", "band_hash")
+            .count()
+            .filter(F.col("count") > max_bucket_size)
+            .select("band_idx", "band_hash")
+        )
+        banded = banded.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
     a = banded.select(
         F.col("id").alias("a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
     )
     b = banded.select(
         F.col("id").alias("b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash"
     )
-    pairs = (
-        a.join(b, ["band_idx", "band_hash"])
+    # distinct on the bare id pair (cheap), then rejoin the persisted
+    # signatures once - distinct over 64-long arrays shuffles k x more bytes
+    ids = (
+        a.drop("sig_a").join(b.drop("sig_b"), ["band_idx", "band_hash"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
+        .select("a", "b")
         .distinct()
     )
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
+    pairs = ids.join(sa, "a").join(sb, "b")
     est = pairs.withColumn(
         "est_jaccard",
         F.aggregate(
@@ -136,7 +169,7 @@ def minhash_dedup(
     common web-pipeline practice; closure needs an iterative min-propagation,
     see connected_components)."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
-    pairs = minhash_lsh_pairs(sigs, id_col, num_bands, threshold)
+    pairs = minhash_lsh_pairs(sigs, id_col, num_bands, threshold, sig_len=num_hashes)
     losers = pairs.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 

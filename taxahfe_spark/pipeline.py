@@ -97,7 +97,18 @@ def taxa_hfe(
             params, lowest_level=params.lowest_level - 1, max_level=params.max_level - 1
         )
 
+    import os, sys, time as _time
+    _dbg = os.environ.get("TAXAHFE_DEBUG_TIMING") == "1"
+    _t0 = _time.time()
+
+    def _tl(msg):
+        nonlocal _t0
+        if _dbg:
+            print(f"[timing] pipeline {msg}: {_time.time()-_t0:.2f}s", file=sys.stderr, flush=True)
+        _t0 = _time.time()
+
     meta_pdf = metadata.toPandas()
+    _tl("meta toPandas")
     meta_pdf["subject_id"] = meta_pdf["subject_id"].map(clean_entity)
     entity_ids = meta_pdf["subject_id"].tolist()
 
@@ -113,12 +124,14 @@ def taxa_hfe(
         resolved, len(entity_ids), filter_prevalence, filter_mean_abundance
     )
     flags_pdf = flags.select("path", "level", "passed_filters").toPandas()
+    _tl("rollup+flags")
 
     vectors = to_feature_vectors(resolved, entity_ids)
     label, cov, _ = prepare_label_covariates(meta_pdf, params.feature_type)
 
     comp = TreeCompetition(vectors, flags_pdf, label, cov, params)
     state = comp.run()
+    _tl("competition")
     return resolved, state
 
 

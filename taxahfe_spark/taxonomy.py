@@ -129,11 +129,16 @@ def hierarchical_rollup(
     otherwise the plan grows O(depth) and re-executes on every action).
     """
     path_col = clean_value_col("clade_name") if clean_paths else F.col("clade_name")
-    observed = long_df.select(
-        path_col.alias("path"),
-        F.col("entity_id").cast("string").alias("entity_id"),
-        F.col("value").cast("double").alias("value"),
-    ).withColumn("level", path_level("path"))
+    observed = (
+        long_df.select(
+            path_col.alias("path"),
+            F.col("entity_id").cast("string").alias("entity_id"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .withColumn("level", path_level("path"))
+        .persist()  # read max_level + per-level slices without re-running
+        # the (possibly expensive) upstream plan once per level
+    )
 
     max_level = observed.agg(F.max("level")).first()[0]
     if max_level is None:
@@ -189,29 +194,41 @@ def hierarchical_rollup(
 
 
 def to_feature_vectors(resolved: DataFrame, entity_ids: list[str]) -> DataFrame:
-    """(path, level, entity_id, value) -> (path, level, values: array<double>).
+    """(path, level, entity_id, value) -> SPARSE per-path vectors
+    (path, level, idxs: array<int>, vals: array<double>) sorted by idx.
 
     ``entity_ids`` fixes the canonical vector order (the reference's column
-    order); missing (path, entity) pairs become 0.0. Used as the Arrow input
-    to the competition UDFs — one map-side-combinable aggregation, the vector
-    is assembled per path without a driver round-trip.
+    order); missing (path, entity) pairs are implicit zeros and are NOT
+    materialized — consumers densify with :func:`sparse_to_dense` (numpy,
+    O(nnz)). Sparse transfer matters: deep taxa touch few entities, so a
+    dense layout would ship n_entities doubles per node through Arrow.
     """
     spark = resolved.sparkSession
     idx = spark.createDataFrame(
         [(e, i) for i, e in enumerate(entity_ids)], ["entity_id", "_eidx"]
     )
-    n = len(entity_ids)
-    zeros = F.array_repeat(F.lit(0.0), n)
     pairs = resolved.join(F.broadcast(idx), "entity_id", "inner")
     return (
         pairs.groupBy("path", "level")
-        .agg(F.map_from_arrays(F.collect_list("_eidx"), F.collect_list("value")).alias("_m"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_eidx"), F.col("value")))
+            ).alias("_iv")
+        )
         .select(
             "path",
             "level",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n - 1)),
-                lambda i: F.coalesce(F.element_at("_m", i.cast("int")), F.lit(0.0)),
-            ).alias("values"),
+            F.transform("_iv", lambda s: s["_eidx"].cast("int")).alias("idxs"),
+            F.transform("_iv", lambda s: s["value"]).alias("vals"),
         )
     )
+
+
+def sparse_to_dense(idxs, vals, n: int):
+    """numpy densifier for one sparse vector row (executor-side, O(nnz))."""
+    import numpy as np
+
+    out = np.zeros(n, dtype=np.float64)
+    if len(idxs):
+        out[np.asarray(idxs, dtype=np.int64)] = np.asarray(vals, dtype=np.float64)
+    return out

@@ -100,6 +100,9 @@ def token_count_rollup(
     output is the long abundance frame the HFE competition consumes.
     """
     tok = seqs.select(id_col, F.explode("tokens").alias("token_id"))
+    # token explode inflates ~n_tok x; respread so a narrow input doesn't
+    # serialize the broadcast join + ancestor explode on one task
+    tok = tok.repartition(seqs.sparkSession.sparkContext.defaultParallelism, id_col)
     leaf = tok.join(F.broadcast(taxonomy), "token_id", "inner")
     anc = explode_ancestors(leaf.select(id_col, F.col("clade_path").alias("path")), "path")
     counts = (

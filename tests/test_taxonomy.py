@@ -119,8 +119,13 @@ def test_node_skeleton(spark, resolved):
 
 
 def test_to_feature_vectors(spark, resolved):
+    from taxahfe_spark.taxonomy import sparse_to_dense
+
     vecs = to_feature_vectors(resolved, ENTITIES)
-    row = {r["path"]: r["values"] for r in vecs.collect()}
+    row = {
+        r["path"]: sparse_to_dense(r["idxs"], r["vals"], len(ENTITIES)).tolist()
+        for r in vecs.collect()
+    }
     assert row["k__a|p__x"] == [9.0, 9.0, 9.0, 9.0]
     assert row["k__b|p__z|c__q"] == [2.0, 0.0, 0.0, 4.0]
 
