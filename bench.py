@@ -47,7 +47,148 @@ def _suite(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
     return out
 
 
-def run_once(cpus: int, sf_dir: str) -> dict:
+def _scaling_suite(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
+    """Scaled derived workload for the N-vs-4N parallelism measurement.
+
+    The raw sf0.1 tables are too small to occupy 32 cores (fixed job overhead
+    dominates and eta is meaningless), so each input is replicated
+    deterministically (explode over a literal sequence — NO new data, same
+    input for both parallelism levels) until every query is shuffle-bound
+    for several seconds. This is the sandbox proxy for the north rule's
+    N -> 4N executor criterion (BASELINE.md).
+    """
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from taxahfe_spark.operators.asof import asof_join
+    from taxahfe_spark.operators.dedup import minhash_dedup
+    from taxahfe_spark.operators.filters import feature_filter_flags
+    from taxahfe_spark.operators.similarity import cosine_topk
+    from taxahfe_spark.operators.windows import lag_lead_features, locf, sessionize
+    from taxahfe_spark.taxonomy import hierarchical_rollup
+    from taxahfe_spark.tokens import build_vocab, token_count_rollup, tokenize, words
+
+    par = spark.sparkContext.defaultParallelism
+
+    def rep(df, n, id_cols):
+        out = df.withColumn("__k", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+        for c in id_cols:
+            out = out.withColumn(c, F.col(c) * n + F.col("__k"))
+        # explode keeps the input's partitioning: a single-file parquet would
+        # feed every downstream stage from ONE task without this respread
+        return out.drop("__k").repartition(par)
+
+    ev = rep(spark.read.parquet(f"{sf_dir}/events.parquet"), 64, ["event_id"]).withColumn(
+        "ts", F.col("ts") + F.make_interval(secs=F.col("event_id") % 60)
+    )  # 6.4M events
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    snap = orders.groupBy(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("snap_ts")
+    ).agg(F.max("o_totalprice").alias("o_totalprice"))
+    li = rep(spark.read.parquet(f"{sf_dir}/lineitem.parquet"), 8, [])  # 4.8M rows
+    docs = rep(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), 20, ["doc_id"]
+    ).withColumn("text", F.concat("text", F.lit(" rep"), (F.col("doc_id") % 20).cast("string")))
+    emb = rep(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), 40, ["vec_id"])
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    re_ = spark.read.parquet(f"{sf_dir}/region.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    long = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(na, su.s_nationkey == na.n_nationkey)
+        .join(re_, na.n_regionkey == re_.r_regionkey)
+        .groupBy(
+            F.concat_ws("|", "r_name", "n_name", "s_name").alias("clade_name"),
+            F.col("o_custkey").alias("entity_id"),
+        )
+        .agg(F.sum("l_quantity").alias("value"))
+    )
+
+    queries = {
+        "asof_3m_events": lambda: asof_join(
+            ev.select("event_id", "user_id", "ts"), snap, on="user_id",
+            left_ts="ts", right_ts="snap_ts", value_cols=["o_totalprice"],
+        ),
+        "session_locf_3m": lambda: locf(
+            lag_lead_features(
+                sessionize(ev, "user_id", "ts", 3600.0, tiebreak="event_id"),
+                "user_id", "ts", ["value"], tiebreak="event_id",
+            ).withColumn(
+                "cv", F.when(F.col("event_type") == "click", F.col("value"))
+            ),
+            "user_id", "ts", ["cv"], tiebreak="event_id",
+        ),
+        "hfe_rollup_2m": lambda: hierarchical_rollup(long, clean_paths=False),
+        "minhash_dedup_100k_docs": lambda: minhash_dedup(docs, threshold=0.8),
+        "token_rollup_100k_docs": lambda: token_count_rollup(
+            tokenize(docs, "text", "doc_id"),
+            build_vocab(words(docs, "text")).select(
+                "token_id",
+                F.concat_ws("|", F.substring("word", 1, 1), "word").alias("clade_path"),
+            ),
+        ),
+        "cosine_topk_20k_vecs": lambda: cosine_topk(
+            emb.filter("vec_id < 40"), emb, k=10
+        ),
+        # the engine's hottest compute path: chunked RF competitions
+        # (Arrow-vectorized pandas UDFs over 15k-sample forests)
+        "hfe_collapse_forests": lambda: _collapse(spark, sf_dir),
+    }
+    reps = int(os.environ.get("BENCH_REPS", "2"))
+    out: dict[str, tuple[float, int]] = {}
+    for name, fn in queries.items():
+        best, rows = None, 0
+        for _rep in range(reps):  # warm run wins: isolates steady-state compute
+            t0 = _t.time()
+            rows = fn().count()
+            dt = _t.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = (round(best, 3), rows)
+        print(f"# {name}: {out[name][0]}s {rows} rows", file=sys.stderr, flush=True)
+    return out
+
+
+def _collapse(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from taxahfe_spark.operators.competition import CompetitionParams
+    from taxahfe_spark.pipeline import taxa_hfe, winner_feature_matrix
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    re_ = spark.read.parquet(f"{sf_dir}/region.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    long = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(na, su.s_nationkey == na.n_nationkey)
+        .join(re_, na.n_regionkey == re_.r_regionkey)
+        .groupBy(
+            F.concat_ws("|", "r_name", "n_name", "s_name").alias("clade_name"),
+            F.col("o_custkey").alias("entity_id"),
+        )
+        .agg(F.sum("l_quantity").alias("value"))
+    )
+    meta = cu.select(
+        F.col("c_custkey").cast("string").alias("subject_id"),
+        F.when(F.col("c_acctbal") > 0, F.lit("pos")).otherwise(F.lit("neg")).alias(
+            "feature_of_interest"
+        ),
+    )
+    params = CompetitionParams(
+        lowest_level=1, nperm=8, num_trees=6, seed=42, super_filter_nperm_factor=4
+    )
+    resolved, state = taxa_hfe(meta, long, params=params, filter_prevalence=0.01)
+    return winner_feature_matrix(resolved, state, metadata=meta)
+
+
+def run_once(cpus: int, sf_dir: str, scaling: bool = False) -> dict:
     from taxahfe_spark.session import get_spark
 
     spark = get_spark(
@@ -56,7 +197,7 @@ def run_once(cpus: int, sf_dir: str) -> dict:
     try:
         # warm the JVM/Python-worker pools so the measurement is steady-state
         spark.range(1000000).selectExpr("sum(id)").collect()
-        res = _suite(spark, sf_dir)
+        res = _scaling_suite(spark, sf_dir) if scaling else _suite(spark, sf_dir)
     finally:
         spark.stop()
     total_sec = round(sum(s for s, _ in res.values()), 3)
@@ -74,17 +215,20 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     if "--scaling" in sys.argv:
-        lo = run_once(8, sf_dir)
-        hi = run_once(32, sf_dir)
-        eta = round(hi["rows_per_sec"] / (4 * lo["rows_per_sec"]), 3)
+        lo_n = int(os.environ.get("SCALE_LO", "8"))
+        hi_n = int(os.environ.get("SCALE_HI", "32"))
+        lo = run_once(lo_n, sf_dir, scaling=True)
+        hi = run_once(hi_n, sf_dir, scaling=True)
+        factor = hi_n / lo_n
+        eta = round(hi["rows_per_sec"] / (factor * lo["rows_per_sec"]), 3)
         print(
             json.dumps(
                 {
                     "metric": "feature_rows_per_sec_scaling",
                     "value": eta,
                     "unit": "efficiency",
-                    "local8": lo,
-                    "local32": hi,
+                    f"local{lo_n}": lo,
+                    f"local{hi_n}": hi,
                     "sf": sf,
                 }
             )

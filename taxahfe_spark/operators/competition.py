@@ -152,70 +152,94 @@ def _decide_final(names: list[str], importance: np.ndarray) -> list[str]:
     return [n for n, v in zip(names, importance) if v > mean_imp and v > 0]
 
 
-def make_corr_udf(corr_method: str, n_entities: int):
-    """Per-competition correlation vs the parent (group = one competition)."""
+def make_corr_udf(bc_vectors, corr_method: str, n_entities: int):
+    """Batch correlation runner: one INPUT ROW per competition
+    (competition_id, parent_path, paths). The competitor vectors come from
+    the broadcast dict — only assignment rows move through the shuffle (the
+    alternative, replicating vectors into every group, ships the whole
+    vector payload once per chunk)."""
 
-    def corr_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        cid = pdf["competition_id"].iloc[0]
-        vecs = {
-            r.path: sparse_to_dense(r.idxs, r.vals, n_entities)
-            for r in pdf.itertuples()
-        }
-        parent_path = pdf.loc[pdf["is_parent"], "path"].iloc[0]
-        desc = sorted(p for p in vecs if p != parent_path)
-        if not desc:
-            return pd.DataFrame(columns=[f.name for f in _CORR_SCHEMA.fields])
-        mat = np.column_stack([vecs[parent_path]] + [vecs[p] for p in desc])
-        r = _corr_with_parent(mat, corr_method)
-        return pd.DataFrame(
-            {"competition_id": cid, "path": desc, "corr": r.astype(np.float64)}
-        )
+    def corr_fn(batches):
+        vecs_sparse = bc_vectors.value
+        for pdf in batches:
+            cids, paths, corrs = [], [], []
+            for row in pdf.itertuples():
+                dense = {
+                    p: sparse_to_dense(*vecs_sparse[p], n_entities)
+                    for p in [row.parent_path, *row.paths]
+                }
+                desc = sorted(p for p in row.paths if p != row.parent_path)
+                if not desc:
+                    continue
+                mat = np.column_stack(
+                    [dense[row.parent_path]] + [dense[p] for p in desc]
+                )
+                r = _corr_with_parent(mat, corr_method)
+                cids.extend([row.competition_id] * len(desc))
+                paths.extend(desc)
+                corrs.extend(r.astype(np.float64))
+            yield pd.DataFrame(
+                {"competition_id": cids, "path": paths, "corr": corrs}
+            )
 
     return corr_fn
 
 
 def make_importance_udf(
+    bc_vectors,
     label: np.ndarray,
     covariates: np.ndarray | None,
     params: CompetitionParams,
 ):
-    """One forest fit per group. Group key = "<parent>#<chunk>"; competitor
-    order is deterministic (parent first, then sorted descendants) so the
-    importance-to-path mapping is stable across layouts.
+    """Batch forest runner: one INPUT ROW per (competition x chunk)
+    (competition_id = "<parent>#<chunk>", parent_path nullable, paths).
+    Competitor order is deterministic (parent first, then sorted
+    descendants) so the importance-to-path mapping is layout-stable.
 
-    label/covariates are aligned to the canonical entity order of the
-    ``values`` vectors and closure-captured (tiny; pickled to executors once
-    per stage - the broadcast-variable idiom for small state).
+    bc_vectors is an explicit SparkContext broadcast of the (taxonomy-sized)
+    sparse vector dict — shipped once per executor, NOT once per task/chunk.
+    label/covariates are closure-captured (tiny).
     """
     classification = params.feature_type == "factor"
-
     n_entities = len(label)
 
-    def imp_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        cid = pdf["competition_id"].iloc[0]
-        parent_key, chunk = cid.rsplit("#", 1)
-        vecs = {
-            r.path: sparse_to_dense(r.idxs, r.vals, n_entities)
-            for r in pdf.itertuples()
-        }
-        is_parent = dict(zip(pdf["path"], pdf["is_parent"]))
-        parents = [p for p, isp in is_parent.items() if isp]
-        names = parents + sorted(p for p in vecs if not is_parent[p])
-        X = np.column_stack([vecs[n] for n in names])
-        n_feat = X.shape[1]
-        if covariates is not None and covariates.size:
-            X = np.column_stack([X, covariates])
-        seed = group_seed(params.seed, parent_key) + 7919 * int(chunk)
-        imp = forest_importance(
-            X,
-            label,
-            classification=classification,
-            num_trees=params.num_trees,
-            seed=seed,
-        )[:n_feat]
-        return pd.DataFrame(
-            {"competition_id": cid, "path": names, "importance": imp}
-        )
+    def imp_fn(batches):
+        import os as _os, time as _time, sys as _sys
+        _t_start = _time.time()
+        vecs_sparse = bc_vectors.value
+        _dbg = _os.environ.get("TAXAHFE_DEBUG_TIMING") == "1"
+        if _dbg:
+            print(f"[udfT] worker pid={_os.getpid()} bc_load={_time.time()-_t_start:.2f}s", file=_sys.stderr, flush=True)
+        for pdf in batches:
+            cids, out_paths, imps = [], [], []
+            for row in pdf.itertuples():
+                parent_key, chunk = row.competition_id.rsplit("#", 1)
+                names = ([row.parent_path] if row.parent_path else []) + sorted(
+                    p for p in row.paths if p != row.parent_path
+                )
+                X = np.column_stack(
+                    [sparse_to_dense(*vecs_sparse[n], n_entities) for n in names]
+                )
+                n_feat = X.shape[1]
+                if covariates is not None and covariates.size:
+                    X = np.column_stack([X, covariates])
+                seed = group_seed(params.seed, parent_key) + 7919 * int(chunk)
+                imp = forest_importance(
+                    X,
+                    label,
+                    classification=classification,
+                    num_trees=params.num_trees,
+                    seed=seed,
+                )[:n_feat]
+                cids.extend([row.competition_id] * len(names))
+                out_paths.extend(names)
+                imps.extend(imp)
+                if _dbg:
+                    print(f"[udfT] pid={_os.getpid()} fit cid={row.competition_id} p={n_feat} dt={_time.time()-_t_start:.2f}s", file=_sys.stderr, flush=True)
+                    _t_start = _time.time()
+            yield pd.DataFrame(
+                {"competition_id": cids, "path": out_paths, "importance": imps}
+            )
 
     return imp_fn
 
@@ -236,7 +260,23 @@ class TreeCompetition:
         covariates: np.ndarray | None,
         params: CompetitionParams,
     ):
-        self.vectors = vectors.persist()
+        # vectors are taxonomy-sized (one row per node); collect ONCE and
+        # broadcast explicitly so every stage ships only assignment rows.
+        # Store as NUMPY arrays: a dict of Python int lists measured 13s PER
+        # UNPICKLE on executors (millions of boxed ints); numpy buffers
+        # deserialize at memory speed. (At >1e5 nodes x dense entities this
+        # outgrows broadcast — shard the competition by subtree before then.)
+        self.spark = vectors.sparkSession
+        vec_rows = vectors.collect()
+        self.bc_vectors = self.spark.sparkContext.broadcast(
+            {
+                r["path"]: (
+                    np.asarray(r["idxs"], dtype=np.int32),
+                    np.asarray(r["vals"], dtype=np.float64),
+                )
+                for r in vec_rows
+            }
+        )
         self.params = params
         self.label = label
         self.covariates = covariates
@@ -277,31 +317,21 @@ class TreeCompetition:
 
     # -- stage runners -------------------------------------------------------
 
-    def _grouped(self, assignments: list[tuple[str, str, bool]]) -> DataFrame:
-        spark = self.vectors.sparkSession
-        adf = spark.createDataFrame(
-            assignments, "competition_id string, path string, is_parent boolean"
+    def _assignment_df(self, rows: list[tuple[str, str | None, list[str]]]):
+        adf = self.spark.createDataFrame(
+            rows, "competition_id string, parent_path string, paths array<string>"
         )
-        return self.vectors.join(F.broadcast(adf), "path", "inner").repartition(
-            "competition_id"
-        )
+        # one row per competition(-chunk): spread rows evenly over tasks
+        n_part = max(1, min(len(rows), self.spark.sparkContext.defaultParallelism * 2))
+        return adf.repartition(n_part)
 
     def _run_corr(self, comps: dict[str, list[str]]) -> dict[str, dict[str, float]]:
         """comps: parent -> descendant winners. Returns parent -> {desc: r}."""
-        assignments = []
-        for parent, descs in comps.items():
-            assignments.append((parent, parent, True))
-            assignments.extend((parent, d, False) for d in descs)
+        rows_in = [(parent, parent, descs) for parent, descs in comps.items()]
+        fn = make_corr_udf(self.bc_vectors, self.params.corr_method, len(self.label))
         t0 = time.time()
-        rows = (
-            self._grouped(assignments)
-            .groupBy("competition_id")
-            .applyInPandas(
-                make_corr_udf(self.params.corr_method, len(self.label)), _CORR_SCHEMA
-            )
-            .collect()
-        )
-        _tlog(f"corr stage: {len(assignments)} assignments, {len(comps)} comps, {time.time()-t0:.2f}s")
+        rows = self._assignment_df(rows_in).mapInPandas(fn, _CORR_SCHEMA).collect()
+        _tlog(f"corr stage: {len(comps)} comps, {time.time()-t0:.2f}s")
         out: dict[str, dict[str, float]] = {p: {} for p in comps}
         for r in rows:
             out[r["competition_id"]][r["path"]] = r["corr"]
@@ -313,21 +343,16 @@ class TreeCompetition:
         """comps: key -> (parent_path | None, competitor list). Fans out
         n_chunks forest fits per competition; returns key -> {path: avg imp}.
         """
-        assignments = []
-        for key, (parent, competitors) in comps.items():
-            for k in range(n_chunks):
-                cid = f"{key}#{k}"
-                if parent is not None:
-                    assignments.append((cid, parent, True))
-                assignments.extend((cid, c, False) for c in competitors)
-        fn = make_importance_udf(self.label, self.covariates, self.params)
-        t0 = time.time()
-        rows = (
-            self._grouped(assignments)
-            .groupBy("competition_id")
-            .applyInPandas(fn, _IMP_SCHEMA)
-            .collect()
+        rows_in = [
+            (f"{key}#{k}", parent, competitors)
+            for key, (parent, competitors) in comps.items()
+            for k in range(n_chunks)
+        ]
+        fn = make_importance_udf(
+            self.bc_vectors, self.label, self.covariates, self.params
         )
+        t0 = time.time()
+        rows = self._assignment_df(rows_in).mapInPandas(fn, _IMP_SCHEMA).collect()
         _tlog(f"importance stage: {len(comps)} comps x {n_chunks} chunks, {time.time()-t0:.2f}s")
         sums: dict[str, dict[str, float]] = {}
         for r in rows:

@@ -38,14 +38,19 @@ def exact_dedup(
 
 
 def char_shingles(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
-    """Distinct k-char shingles per doc, as an exploded (doc, shingle) frame.
-    Built-ins only: sequence + transform + substring."""
-    norm = normalize_text(text_col)
+    """Distinct k-char shingles per doc. Built-ins only.
+
+    The normalized text is PROJECTED before the transform: an expression
+    referenced inside a lambda is re-evaluated per array element (Catalyst
+    does not CSE across the lambda boundary), so inlining the regex
+    normalization costs O(len^2) regex work per document."""
+    with_norm = df.withColumn("__norm", normalize_text(text_col))
+    norm = F.col("__norm")
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(norm) - k + 1, F.lit(1))),
         lambda i: norm.substr(i, F.lit(k)),
     )
-    return df.withColumn("__shingles", F.array_distinct(sh))
+    return with_norm.withColumn("__shingles", F.array_distinct(sh)).drop("__norm")
 
 
 def minhash_signatures(
@@ -58,19 +63,33 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>) MinHash signatures.
 
-    One explode + one groupBy; the k hash functions are xxhash64 seeded by a
-    literal lane index, evaluated JVM-side in the same projection.
+    Shingling via posexplode + substr stays inside whole-stage codegen (an
+    equivalent transform() lambda is evaluated INTERPRETED per element —
+    measured 3.4x slower); duplicate shingles are kept (min is idempotent,
+    dedup would cost more than it saves); the shingle string is hashed once
+    and the k lanes derive from the 8-byte value.
     """
-    sh = char_shingles(df, text_col, shingle_k).select(
-        id_col, F.explode("__shingles").alias("sh")
+    norm = normalize_text(text_col)
+    base = df.select(id_col, norm.alias("__norm"))
+    ex = base.select(
+        id_col,
+        "__norm",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("__norm") - shingle_k + 1, F.lit(1))
+            )
+        ).alias("__pos"),
+    )
+    sh = ex.select(
+        id_col,
+        F.xxhash64(
+            F.substr("__norm", F.col("__pos"), F.lit(shingle_k)), F.lit(seed)
+        ).alias("h0"),
     )
     # explode inflates rows ~1000x: a narrow input (one parquet partition)
-    # would hash 64 lanes single-threaded without this spread
+    # would aggregate 64 lanes single-threaded without this spread
     par = df.sparkSession.sparkContext.defaultParallelism
     sh = sh.repartition(par, id_col)
-    # hash the STRING once; derive the k lanes by re-hashing the 8-byte
-    # value (string hashing dominates the cost at k=64)
-    sh = sh.select(id_col, F.xxhash64("sh", F.lit(seed)).alias("h0"))
     mins = sh.groupBy(id_col).agg(
         *[
             F.min(F.xxhash64(F.col("h0"), F.lit(i))).alias(f"h{i}")
@@ -102,6 +121,8 @@ def minhash_lsh_pairs(
     coverage cap for this operator — same role as ngram max_df).
     """
     sigs = sigs.persist()
+    sigs.count()  # materialize ONCE: the band job references sigs 3x and
+    # concurrent tasks would otherwise race-compute the unfilled cache
     if sig_len is None:
         sig_len = sigs.select(F.size("sig")).first()[0]
     rows_per_band = max(1, sig_len // num_bands)

@@ -48,7 +48,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # local mode: the driver JVM IS the executor. 30g = the sweet spot:
+        # big enough that 32 concurrent tasks' agg state doesn't thrash GC,
+        # but under the 32g CompressedOops cliff (a 64g heap measured 10x
+        # SLOWER on allocation-heavy aggregations than 16g on this box)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "30g"))
         # Broadcast threshold: taxonomy skeletons / metadata dims are small by
         # design; 64MB keeps them broadcast even at large taxonomies.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

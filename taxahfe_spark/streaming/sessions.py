@@ -1,0 +1,84 @@
+"""Structured Streaming variants of the event-time operators.
+
+The batch definitions in operators/windows.py were written watermark-
+compatible on purpose (SURVEY.md §2.12): gap sessionization == Spark's
+``session_window(ts, gap)``, and LOCF/as-of only read the past. These
+wrappers express the same semantics over ``readStream`` sources so the
+engine's event-time layer ports to continuous ingestion without semantic
+drift; tests drive them with file sources + ``processAllAvailable()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_session_stats(
+    events: DataFrame,
+    keys: str | list[str],
+    ts: str,
+    gap_seconds: float,
+    watermark: str = "1 hour",
+    agg_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per-session aggregates over a stream: session_window + watermark.
+
+    Equivalent batch result: operators.windows.session_stats (the batch gap
+    rule and session_window produce identical session boundaries; the
+    watermark only bounds state, it does not change on-time results).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    # watermarks require TIMESTAMP (LTZ); parquet often yields NTZ — the
+    # cast is the identity under the pinned UTC session TZ
+    events = events.withColumn(ts, F.col(ts).cast("timestamp"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+    ]
+    for c, fn in (agg_cols or {}).items():
+        aggs.append(getattr(F, fn)(c).alias(f"{fn}_{c}"))
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(
+            F.session_window(F.col(ts), f"{int(gap_seconds)} seconds").alias("session"),
+            *keys,
+        )
+        .agg(*aggs)
+        .select(
+            *keys,
+            F.col("session.start").alias("window_start"),
+            F.col("session.end").alias("window_end"),
+            "n_events",
+            "session_start",
+            "session_end",
+            *[f"{fn}_{c}" for c, fn in (agg_cols or {}).items()],
+        )
+    )
+
+
+def streaming_windowed_counts(
+    events: DataFrame,
+    ts: str,
+    keys: str | list[str],
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling/sliding windowed counts with late-data handling."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    events = events.withColumn(ts, F.col(ts).cast("timestamp"))
+    win = F.window(F.col(ts), window, slide) if slide else F.window(F.col(ts), window)
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(win.alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            *keys,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+            "sum_value",
+        )
+    )
