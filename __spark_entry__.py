@@ -33,11 +33,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    sf_dir = "/root/testdata/sf0.001"
-    from taxahfe_spark.operators.competition import CompetitionParams
-    from taxahfe_spark.pipeline import taxa_hfe, winner_feature_matrix
-
+def supplier_hierarchy(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared flagship input: region|nation|supplier hierarchy long frame
+    valued by shipped quantity per customer, plus the customer metadata
+    (label = account-balance sign). Used by entry(), q_hfe_collapse,
+    q_hfe_corr_collapse and bench so they cannot drift apart."""
     li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
     su, na, re = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
     cu = _t(spark, sf_dir, "customer")
@@ -58,6 +58,15 @@ def entry(spark: SparkSession) -> DataFrame:
             "feature_of_interest"
         ),
     )
+    return long, meta
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    sf_dir = "/root/testdata/sf0.001"
+    from taxahfe_spark.operators.competition import CompetitionParams
+    from taxahfe_spark.pipeline import taxa_hfe, winner_feature_matrix
+
+    long, meta = supplier_hierarchy(spark, sf_dir)
     params = CompetitionParams(lowest_level=1, nperm=2, num_trees=30, seed=42)
     resolved, state = taxa_hfe(meta, long, params=params, filter_prevalence=0.05)
     return winner_feature_matrix(resolved, state, metadata=meta)
@@ -660,26 +669,7 @@ def q_hfe_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxahfe_spark.operators.competition import CompetitionParams
     from taxahfe_spark.pipeline import taxa_hfe, winner_feature_matrix
 
-    cu = _t(spark, sf_dir, "customer")
-    meta = cu.select(
-        F.col("c_custkey").cast("string").alias("subject_id"),
-        F.when(F.col("c_acctbal") > 0, F.lit("pos")).otherwise(F.lit("neg")).alias(
-            "feature_of_interest"
-        ),
-    )
-    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
-    su, na, re = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
-    long = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(su, li.l_suppkey == su.s_suppkey)
-        .join(na, su.s_nationkey == na.n_nationkey)
-        .join(re, na.n_regionkey == re.r_regionkey)
-        .groupBy(
-            F.concat_ws("|", "r_name", "n_name", "s_name").alias("clade_name"),
-            F.col("o_custkey").alias("entity_id"),
-        )
-        .agg(F.sum("l_quantity").alias("value"))
-    )
+    long, meta = supplier_hierarchy(spark, sf_dir)
     params = CompetitionParams(
         lowest_level=1, nperm=4, num_trees=5, seed=42, super_filter_nperm_factor=4
     )

@@ -8,21 +8,36 @@ Spark's execution model:
 - post-order traversal -> driver loop over levels, deepest first; within a
   level every competition (one per competing parent node) touches a disjoint
   subtree, so a whole level fans out in parallel.
-- each level runs TWO grouped-map stages: (1) a correlation stage, one Arrow
-  group per competition, and (2) an RF-importance stage, one group per
-  (competition x permutation-chunk). Chunking the nperm averaged fits across
-  groups is what keeps the engine scalable: the reference runs nperm (and
-  nperm*10 for the super filter) ranger fits SERIALLY per node; here every
-  fit is an independent executor task, so wall time is bounded by one fit,
-  not nperm fits - and the lone super-filter competition no longer
-  serializes the whole job (Amdahl).
+- each level runs ONE grouped Arrow stage: every group is a
+  (competition x permutation-chunk) that computes the parent-vs-descendant
+  correlations, prunes locally, and fits its forests in the same pass —
+  halving the per-level driver barriers vs separate corr + RF jobs. Chunking
+  the nperm averaged fits across groups keeps the engine scalable both ways:
+  with FEW competitions (reference shape, super filter) the nperm fits fan
+  out so wall time is bounded by one fit; with MANY competitions (web-scale
+  taxonomies) chunking collapses to one task per competition so the vector
+  payload ships through the shuffle once per level.
+- vector delivery is strategy-selected (``vector_strategy``):
+  * ``broadcast`` — collect the (taxonomy-sized) sparse vectors once and
+    broadcast; stages ship only assignment rows. Fastest at reference shape.
+  * ``shuffle``  — NEVER collects to the driver: assignment rows join the
+    distributed vector frame and ``applyInPandas`` consumes one competition
+    group per task. This is the 100 TB path (at >1e5 nodes x dense entities
+    the vector dict outgrows any driver/broadcast budget).
+  * ``auto``     — broadcast below ``broadcast_max_bytes`` of vector payload,
+    shuffle above.
 - ALL decision semantics live driver-side on taxonomy-sized data: the UDFs
-  return plain numbers (correlations, importances), never decisions. The
-  per-entity abundance VECTORS are the big data and stay distributed; each
-  group ships only its own competitors' vectors through Arrow.
+  return plain numbers (correlations, importances), never decisions.
 - all randomness derives from ``hash(seed, parent_path) + chunk``, so
-  results are partition-layout-invariant and reproducible (reference roots
-  everything in one set.seed, lib/options.R:225).
+  results are partition-layout-invariant, identical across vector
+  strategies, and reproducible (reference roots everything in one set.seed,
+  lib/options.R:225).
+- repeated measures (``random_effects``, reference lib/tree.R:776-793 +
+  1086-1144 prep_re_data): each fit trains TWO forests — per-(individual,
+  label) mean-abundance design and per-(individual, label) slope-over-time
+  design — ranks each fit's importances (R ``rank``: ascending, average
+  ties) and averages the two ranks; covariate one-hot columns join both
+  designs and are dropped from the final ranking driver-side.
 
 Decision semantics preserved exactly (each is a unit-tested one-character
 trap): strict-> filters gate competition; no-children / max_level /
@@ -35,6 +50,9 @@ descendants with importance >= parent win and the parent loses; final
 
 from __future__ import annotations
 
+import os
+import sys
+import time
 import zlib
 from dataclasses import dataclass, field
 
@@ -46,10 +64,6 @@ from pyspark.sql import types as T
 
 from taxahfe_spark.functions.rf import forest_importance
 from taxahfe_spark.taxonomy import sparse_to_dense
-
-import os
-import sys
-import time
 
 _DEBUG_TIMING = os.environ.get("TAXAHFE_DEBUG_TIMING") == "1"
 
@@ -66,11 +80,20 @@ class CompetitionParams:
     corr_threshold: float = 0.95
     corr_method: str = "pearson"  # reference default; "spearman" supported
     feature_type: str = "factor"  # "factor" (classification) | "numeric"
-    nperm: int = 4  # averaged fits per competition == parallel chunks
+    nperm: int = 4  # averaged fits per competition
     num_trees: int = 100  # trees per fit (reference ranger default 500)
     seed: int = 42
     disable_super_filter: bool = False
     super_filter_nperm_factor: int = 10  # reference: nperm*10 for the final RF
+    # "full" runs the RF stage; "corr_only" is a deterministic collapse where
+    # corr survivors win and the parent loses (SQL-oracle-checkable prefix of
+    # the full competition — the RF decisions are the only randomized part)
+    competition_mode: str = "full"
+    # repeated-measures competition (reference --random_effects)
+    random_effects: bool = False
+    # "auto" | "broadcast" | "shuffle" (see module docstring)
+    vector_strategy: str = "auto"
+    broadcast_max_bytes: int = 128 * 1024 * 1024
 
 
 @dataclass
@@ -88,18 +111,11 @@ class NodeState:
     outcomes: list[str] = field(default_factory=list)
 
 
-_CORR_SCHEMA = T.StructType(
+_STAGE_SCHEMA = T.StructType(
     [
         T.StructField("competition_id", T.StringType()),
         T.StructField("path", T.StringType()),
         T.StructField("corr", T.DoubleType()),
-    ]
-)
-
-_IMP_SCHEMA = T.StructType(
-    [
-        T.StructField("competition_id", T.StringType()),
-        T.StructField("path", T.StringType()),
         T.StructField("importance", T.DoubleType()),
     ]
 )
@@ -152,96 +168,231 @@ def _decide_final(names: list[str], importance: np.ndarray) -> list[str]:
     return [n for n, v in zip(names, importance) if v > mean_imp and v > 0]
 
 
-def make_corr_udf(bc_vectors, corr_method: str, n_entities: int):
-    """Batch correlation runner: one INPUT ROW per competition
-    (competition_id, parent_path, paths). The competitor vectors come from
-    the broadcast dict — only assignment rows move through the shuffle (the
-    alternative, replicating vectors into every group, ships the whole
-    vector payload once per chunk)."""
-
-    def corr_fn(batches):
-        vecs_sparse = bc_vectors.value
-        for pdf in batches:
-            cids, paths, corrs = [], [], []
-            for row in pdf.itertuples():
-                dense = {
-                    p: sparse_to_dense(*vecs_sparse[p], n_entities)
-                    for p in [row.parent_path, *row.paths]
-                }
-                desc = sorted(p for p in row.paths if p != row.parent_path)
-                if not desc:
-                    continue
-                mat = np.column_stack(
-                    [dense[row.parent_path]] + [dense[p] for p in desc]
-                )
-                r = _corr_with_parent(mat, corr_method)
-                cids.extend([row.competition_id] * len(desc))
-                paths.extend(desc)
-                corrs.extend(r.astype(np.float64))
-            yield pd.DataFrame(
-                {"competition_id": cids, "path": paths, "corr": corrs}
-            )
-
-    return corr_fn
+# -- per-group importance kernels (executor-side numpy) ----------------------
 
 
-def make_importance_udf(
-    bc_vectors,
+def _group_slopes(
+    X: np.ndarray, t: np.ndarray, gidx: np.ndarray, n_groups: int
+) -> np.ndarray:
+    """Per-group OLS slope of each X column over t; shape (n_groups, p).
+
+    Closed form of the reference's per-feature ``lm(. ~ time)$coef[2]``
+    (lib/tree.R:1127-1133); degenerate groups (one obs / constant time)
+    yield 0 like the reference's replace_na(0).
+    """
+    p = X.shape[1]
+    cnt = np.zeros(n_groups)
+    st = np.zeros(n_groups)
+    stt = np.zeros(n_groups)
+    np.add.at(cnt, gidx, 1.0)
+    np.add.at(st, gidx, t)
+    np.add.at(stt, gidx, t * t)
+    sv = np.zeros((n_groups, p))
+    stv = np.zeros((n_groups, p))
+    np.add.at(sv, gidx, X)
+    np.add.at(stv, gidx, X * t[:, None])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        denom = stt - st * st / np.where(cnt > 0, cnt, 1)
+        num = stv - (st[:, None] * sv) / np.where(cnt > 0, cnt, 1)[:, None]
+        slopes = num / denom[:, None]
+    slopes[~np.isfinite(slopes)] = 0.0
+    return slopes
+
+
+def _group_means(
+    X: np.ndarray, gidx: np.ndarray, n_groups: int
+) -> np.ndarray:
+    p = X.shape[1]
+    cnt = np.zeros(n_groups)
+    np.add.at(cnt, gidx, 1.0)
+    s = np.zeros((n_groups, p))
+    np.add.at(s, gidx, X)
+    return s / np.where(cnt > 0, cnt, 1)[:, None]
+
+
+def _rank_avg(v: np.ndarray) -> np.ndarray:
+    """R rank(): ascending, average ties (reference lib/tree.R:780-790)."""
+    return pd.Series(v).rank(method="average").to_numpy()
+
+
+def chunk_importance(
+    Xf: np.ndarray,
     label: np.ndarray,
-    covariates: np.ndarray | None,
-    params: CompetitionParams,
-):
-    """Batch forest runner: one INPUT ROW per (competition x chunk)
-    (competition_id = "<parent>#<chunk>", parent_path nullable, paths).
-    Competitor order is deterministic (parent first, then sorted
-    descendants) so the importance-to-path mapping is layout-stable.
+    cov: np.ndarray | None,
+    re_individual: np.ndarray | None,
+    re_time: np.ndarray | None,
+    params: "CompetitionParams",
+    seed: int,
+) -> np.ndarray:
+    """One permutation-fit's importance for the feature columns of Xf.
 
-    bc_vectors is an explicit SparkContext broadcast of the (taxonomy-sized)
-    sparse vector dict — shipped once per executor, NOT once per task/chunk.
-    label/covariates are closure-captured (tiny).
+    Non-RE: one corrected-impurity forest on [features | covariates]
+    (reference lib/tree.R:799-803). RE: two forests on the per-(individual,
+    label) mean and slope designs, rank-averaged (lib/tree.R:776-793).
     """
     classification = params.feature_type == "factor"
-    n_entities = len(label)
+    p = Xf.shape[1]
+    if not params.random_effects:
+        X = Xf if cov is None or not cov.size else np.column_stack([Xf, cov])
+        return forest_importance(
+            X, label, classification=classification,
+            num_trees=params.num_trees, seed=seed,
+        )[:p]
 
-    def imp_fn(batches):
-        import os as _os, time as _time, sys as _sys
-        _t_start = _time.time()
+    # repeated measures: pseudo-sample = (individual, label) pair
+    _, lab_codes = np.unique(label.astype(str), return_inverse=True)
+    pair_keys = re_individual.astype(np.int64) * (lab_codes.max() + 1) + lab_codes
+    uniq, gidx = np.unique(pair_keys, return_inverse=True)
+    n_groups = len(uniq)
+    # group label = the label component of the pair key
+    y_group = np.empty(n_groups, dtype=label.dtype)
+    y_group[gidx] = label
+    Xall = Xf if cov is None or not cov.size else np.column_stack([Xf, cov])
+    X_mean = _group_means(Xall, gidx, n_groups)
+    slopes = _group_slopes(Xf, re_time.astype(np.float64), gidx, n_groups)
+    # slope design keeps the (mean-encoded) covariates (reference merges the
+    # one-hot covariate means back onto the slope table, lib/tree.R:1139)
+    X_slope = (
+        slopes if cov is None or not cov.size
+        else np.column_stack([slopes, X_mean[:, p:]])
+    )
+    imp_a = forest_importance(
+        X_mean, y_group, classification=classification,
+        num_trees=params.num_trees, seed=seed,
+    )
+    imp_s = forest_importance(
+        X_slope, y_group, classification=classification,
+        num_trees=params.num_trees, seed=seed + 1,
+    )
+    # rank within each fit (over features AND covariates), average the ranks
+    return ((_rank_avg(imp_a) + _rank_avg(imp_s)) / 2.0)[:p]
+
+
+def _run_group(
+    parent_path: str | None,
+    names: list[str],
+    dense: dict[str, np.ndarray],
+    chunk_lo: int,
+    chunk_hi: int,
+    label: np.ndarray,
+    cov: np.ndarray | None,
+    re_individual: np.ndarray | None,
+    re_time: np.ndarray | None,
+    params: "CompetitionParams",
+    emit_corr: bool,
+) -> tuple[list[str], list[float | None], list[float | None]]:
+    """Fused corr + prune + forest pass for one competition x chunk-range.
+
+    Returns parallel (path, corr, importance) row lists. ``names`` is the
+    deterministic competitor order: parent first (when present), then sorted
+    descendants — layout-stable in every delivery strategy.
+    """
+    out_paths: list[str] = []
+    out_corr: list[float | None] = []
+    out_imp: list[float | None] = []
+    descs = [n for n in names if n != parent_path]
+    competitors = list(descs)
+    if parent_path is not None:
+        # correlation prune (reference lib/tree.R:505-545): signed r >=
+        # threshold prunes; NaN keeps
+        mat = np.column_stack([dense[parent_path]] + [dense[d] for d in descs])
+        r = _corr_with_parent(mat, params.corr_method)
+        if emit_corr:
+            out_paths.extend(descs)
+            out_corr.extend(float(v) for v in r)
+            out_imp.extend([None] * len(descs))
+        keep = [
+            d for d, rv in zip(descs, r)
+            if np.isnan(rv) or rv < params.corr_threshold
+        ]
+        if not keep or params.competition_mode == "corr_only":
+            return out_paths, out_corr, out_imp
+        competitors = [parent_path] + keep
+    Xf = np.column_stack([dense[n] for n in competitors])
+    parent_key = parent_path if parent_path is not None else "__final__"
+    for chunk in range(chunk_lo, chunk_hi):
+        seed = group_seed(params.seed, parent_key) + 7919 * chunk
+        imp = chunk_importance(
+            Xf, label, cov, re_individual, re_time, params, seed
+        )
+        out_paths.extend(competitors)
+        out_corr.extend([None] * len(competitors))
+        out_imp.extend(float(v) for v in imp)
+    return out_paths, out_corr, out_imp
+
+
+def make_broadcast_stage_udf(bc_vectors, bc_ctx, params: CompetitionParams):
+    """mapInPandas runner for the broadcast strategy: one INPUT ROW per
+    (competition x chunk-range) — (competition_id, parent_path, paths,
+    chunk_lo, chunk_hi); vectors come from the explicit broadcast."""
+
+    def fn(batches):
         vecs_sparse = bc_vectors.value
-        _dbg = _os.environ.get("TAXAHFE_DEBUG_TIMING") == "1"
-        if _dbg:
-            print(f"[udfT] worker pid={_os.getpid()} bc_load={_time.time()-_t_start:.2f}s", file=_sys.stderr, flush=True)
+        label, cov, re_ind, re_time = bc_ctx.value
+        n_entities = len(label)
         for pdf in batches:
-            cids, out_paths, imps = [], [], []
+            rows_p, rows_c, rows_i, rows_id = [], [], [], []
             for row in pdf.itertuples():
-                parent_key, chunk = row.competition_id.rsplit("#", 1)
                 names = ([row.parent_path] if row.parent_path else []) + sorted(
                     p for p in row.paths if p != row.parent_path
                 )
-                X = np.column_stack(
-                    [sparse_to_dense(*vecs_sparse[n], n_entities) for n in names]
+                dense = {
+                    n: sparse_to_dense(*vecs_sparse[n], n_entities) for n in names
+                }
+                paths, corrs, imps = _run_group(
+                    row.parent_path or None, names, dense,
+                    int(row.chunk_lo), int(row.chunk_hi),
+                    label, cov, re_ind, re_time, params,
+                    emit_corr=int(row.chunk_lo) == 0,
                 )
-                n_feat = X.shape[1]
-                if covariates is not None and covariates.size:
-                    X = np.column_stack([X, covariates])
-                seed = group_seed(params.seed, parent_key) + 7919 * int(chunk)
-                imp = forest_importance(
-                    X,
-                    label,
-                    classification=classification,
-                    num_trees=params.num_trees,
-                    seed=seed,
-                )[:n_feat]
-                cids.extend([row.competition_id] * len(names))
-                out_paths.extend(names)
-                imps.extend(imp)
-                if _dbg:
-                    print(f"[udfT] pid={_os.getpid()} fit cid={row.competition_id} p={n_feat} dt={_time.time()-_t_start:.2f}s", file=_sys.stderr, flush=True)
-                    _t_start = _time.time()
+                rows_p.extend(paths)
+                rows_c.extend(corrs)
+                rows_i.extend(imps)
+                rows_id.extend([row.competition_id] * len(paths))
             yield pd.DataFrame(
-                {"competition_id": cids, "path": out_paths, "importance": imps}
+                {
+                    "competition_id": rows_id,
+                    "path": rows_p,
+                    "corr": pd.array(rows_c, dtype="float64"),
+                    "importance": pd.array(rows_i, dtype="float64"),
+                }
             )
 
-    return imp_fn
+    return fn
+
+
+def make_shuffle_stage_udf(bc_ctx, params: CompetitionParams):
+    """applyInPandas runner for the shuffle strategy: one GROUP per
+    (competition x chunk-range); each group's rows carry its competitors'
+    sparse vectors (joined in, never via the driver)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        label, cov, re_ind, re_time = bc_ctx.value
+        n_entities = len(label)
+        first = pdf.iloc[0]
+        parent = first["parent_path"] if pd.notna(first["parent_path"]) else None
+        chunk_lo, chunk_hi = int(first["chunk_lo"]), int(first["chunk_hi"])
+        dense = {
+            r.path: sparse_to_dense(r.idxs, r.vals, n_entities)
+            for r in pdf.itertuples()
+        }
+        names = ([parent] if parent else []) + sorted(
+            p for p in dense if p != parent
+        )
+        paths, corrs, imps = _run_group(
+            parent, names, dense, chunk_lo, chunk_hi,
+            label, cov, re_ind, re_time, params, emit_corr=chunk_lo == 0,
+        )
+        return pd.DataFrame(
+            {
+                "competition_id": [first["competition_id"]] * len(paths),
+                "path": paths,
+                "corr": pd.array(corrs, dtype="float64"),
+                "importance": pd.array(imps, dtype="float64"),
+            }
+        )
+
+    return fn
 
 
 class TreeCompetition:
@@ -250,6 +401,8 @@ class TreeCompetition:
     vectors: DataFrame (path, level, idxs, vals) - SPARSE, from
     taxonomy.to_feature_vectors; entity index order == order of ``label``.
     flags:   pandas (path -> level, passed_filters) from feature_filter_flags.
+    re_individual / re_time: per-entity arrays (aligned to ``label``) for the
+    repeated-measures competition; required when params.random_effects.
     """
 
     def __init__(
@@ -259,27 +412,58 @@ class TreeCompetition:
         label: np.ndarray,
         covariates: np.ndarray | None,
         params: CompetitionParams,
+        re_individual: np.ndarray | None = None,
+        re_time: np.ndarray | None = None,
     ):
-        # vectors are taxonomy-sized (one row per node); collect ONCE and
-        # broadcast explicitly so every stage ships only assignment rows.
-        # Store as NUMPY arrays: a dict of Python int lists measured 13s PER
-        # UNPICKLE on executors (millions of boxed ints); numpy buffers
-        # deserialize at memory speed. (At >1e5 nodes x dense entities this
-        # outgrows broadcast — shard the competition by subtree before then.)
+        if params.random_effects and (re_individual is None or re_time is None):
+            raise ValueError(
+                "random_effects competition requires re_individual and re_time "
+                "arrays (metadata columns 'individual' and 'time', reference "
+                "lib/tree.R:116-122)"
+            )
         self.spark = vectors.sparkSession
-        vec_rows = vectors.collect()
-        self.bc_vectors = self.spark.sparkContext.broadcast(
-            {
-                r["path"]: (
-                    np.asarray(r["idxs"], dtype=np.int32),
-                    np.asarray(r["vals"], dtype=np.float64),
-                )
-                for r in vec_rows
-            }
-        )
         self.params = params
         self.label = label
         self.covariates = covariates
+        # label/covariates/RE arrays are one-per-entity (not per-node): ship
+        # once per executor via an explicit broadcast, not per-task closures
+        self.bc_ctx = self.spark.sparkContext.broadcast(
+            (label, covariates, re_individual, re_time)
+        )
+
+        strategy = params.vector_strategy
+        self.vectors = vectors
+        self.bc_vectors = None
+        if strategy == "auto":
+            nnz = vectors.agg(F.sum(F.size("idxs"))).first()[0] or 0
+            strategy = (
+                "broadcast"
+                if nnz * 12 <= params.broadcast_max_bytes
+                else "shuffle"
+            )
+            _tlog(f"vector_strategy auto -> {strategy} (nnz={nnz})")
+        self.strategy = strategy
+        if strategy == "broadcast":
+            # vectors are taxonomy-sized here; collect ONCE and broadcast
+            # explicitly so every stage ships only assignment rows. Stored as
+            # NUMPY arrays: a dict of Python int lists measured 13s PER
+            # UNPICKLE on executors; numpy buffers deserialize at memory speed.
+            vec_rows = vectors.collect()
+            self.bc_vectors = self.spark.sparkContext.broadcast(
+                {
+                    r["path"]: (
+                        np.asarray(r["idxs"], dtype=np.int32),
+                        np.asarray(r["vals"], dtype=np.float64),
+                    )
+                    for r in vec_rows
+                }
+            )
+        else:
+            # the 100 TB path: vectors never touch the driver; persist so the
+            # per-level join doesn't recompute the pivot each iteration
+            self.vectors = vectors.select("path", "idxs", "vals").persist()
+            self.vectors.count()
+
         self.nodes: dict[str, NodeState] = {}
         for r in flags_pdf.itertuples():
             self.nodes[r.path] = NodeState(
@@ -311,57 +495,92 @@ class TreeCompetition:
             if lvl > p.max_level or lvl < p.lowest_level:
                 continue
             self._compete_level(lvl)
-        if not p.disable_super_filter:
+        if not p.disable_super_filter and p.competition_mode == "full":
             self._super_filter()
+        if self.strategy == "shuffle":
+            self.vectors.unpersist()
         return self.state_frame()
 
-    # -- stage runners -------------------------------------------------------
+    # -- fused stage runner ---------------------------------------------------
 
-    def _assignment_df(self, rows: list[tuple[str, str | None, list[str]]]):
-        adf = self.spark.createDataFrame(
-            rows, "competition_id string, parent_path string, paths array<string>"
-        )
-        # one row per competition(-chunk): spread rows evenly over tasks
-        n_part = max(1, min(len(rows), self.spark.sparkContext.defaultParallelism * 2))
-        return adf.repartition(n_part)
+    def _chunk_ranges(self, n_comps: int, n_chunks: int) -> list[tuple[int, int]]:
+        """Split nperm fits into contiguous chunk ranges, adaptively: few
+        competitions -> full fan-out (wall time ~ one fit); many competitions
+        -> one range per competition (vectors ship once per level). Seeds
+        depend only on the absolute chunk index, so scheduling never changes
+        results."""
+        par = self.spark.sparkContext.defaultParallelism
+        target_rows = max(2 * par, n_comps)
+        per_comp = max(1, min(n_chunks, target_rows // max(n_comps, 1)))
+        step = (n_chunks + per_comp - 1) // per_comp
+        return [(lo, min(lo + step, n_chunks)) for lo in range(0, n_chunks, step)]
 
-    def _run_corr(self, comps: dict[str, list[str]]) -> dict[str, dict[str, float]]:
-        """comps: parent -> descendant winners. Returns parent -> {desc: r}."""
-        rows_in = [(parent, parent, descs) for parent, descs in comps.items()]
-        fn = make_corr_udf(self.bc_vectors, self.params.corr_method, len(self.label))
-        t0 = time.time()
-        rows = self._assignment_df(rows_in).mapInPandas(fn, _CORR_SCHEMA).collect()
-        _tlog(f"corr stage: {len(comps)} comps, {time.time()-t0:.2f}s")
-        out: dict[str, dict[str, float]] = {p: {} for p in comps}
-        for r in rows:
-            out[r["competition_id"]][r["path"]] = r["corr"]
-        return out
-
-    def _run_importance(
-        self, comps: dict[str, tuple[str | None, list[str]]], n_chunks: int
-    ) -> dict[str, dict[str, float]]:
-        """comps: key -> (parent_path | None, competitor list). Fans out
-        n_chunks forest fits per competition; returns key -> {path: avg imp}.
-        """
+    def _run_stage(
+        self,
+        comps: dict[str, tuple[str | None, list[str]]],
+        n_chunks: int,
+    ) -> tuple[dict[str, dict[str, float]], dict[str, dict[str, float]]]:
+        """comps: key -> (parent_path | None, competitor paths). Runs the
+        fused corr+RF stage; returns (corrs, importances) keyed by
+        competition key -> {path: value}. Importances are averaged over
+        n_chunks fits."""
+        ranges = self._chunk_ranges(len(comps), n_chunks)
         rows_in = [
-            (f"{key}#{k}", parent, competitors)
-            for key, (parent, competitors) in comps.items()
-            for k in range(n_chunks)
+            (f"{key}#{lo}", parent, sorted(set(paths) | ({parent} if parent else set())), lo, hi)
+            for key, (parent, paths) in comps.items()
+            for (lo, hi) in ranges
         ]
-        fn = make_importance_udf(
-            self.bc_vectors, self.label, self.covariates, self.params
-        )
         t0 = time.time()
-        rows = self._assignment_df(rows_in).mapInPandas(fn, _IMP_SCHEMA).collect()
-        _tlog(f"importance stage: {len(comps)} comps x {n_chunks} chunks, {time.time()-t0:.2f}s")
+        if self.strategy == "broadcast":
+            adf = self.spark.createDataFrame(
+                rows_in,
+                "competition_id string, parent_path string, paths array<string>, "
+                "chunk_lo int, chunk_hi int",
+            )
+            n_part = max(
+                1, min(len(rows_in), self.spark.sparkContext.defaultParallelism * 2)
+            )
+            fn = make_broadcast_stage_udf(self.bc_vectors, self.bc_ctx, self.params)
+            rows = adf.repartition(n_part).mapInPandas(fn, _STAGE_SCHEMA).collect()
+        else:
+            assign = [
+                (cid, parent, path, lo, hi)
+                for (cid, parent, paths, lo, hi) in rows_in
+                for path in paths
+            ]
+            adf = self.spark.createDataFrame(
+                assign,
+                "competition_id string, parent_path string, path string, "
+                "chunk_lo int, chunk_hi int",
+            )
+            joined = adf.join(self.vectors, "path")
+            fn = make_shuffle_stage_udf(self.bc_ctx, self.params)
+            rows = (
+                joined.groupBy("competition_id")
+                .applyInPandas(fn, _STAGE_SCHEMA)
+                .collect()
+            )
+        _tlog(
+            f"fused stage [{self.strategy}]: {len(comps)} comps x {n_chunks} "
+            f"chunks in {len(rows_in)} tasks, {time.time()-t0:.2f}s"
+        )
+        # Arrow ships the float64 row lists with NaN standing in for "absent"
+        # (a TRUE NaN correlation is indistinguishable, and by the reference's
+        # rule it must not prune — exactly what dropping it here does)
+        corrs: dict[str, dict[str, float]] = {}
         sums: dict[str, dict[str, float]] = {}
         for r in rows:
             key = r["competition_id"].rsplit("#", 1)[0]
-            sums.setdefault(key, {}).setdefault(r["path"], 0.0)
-            sums[key][r["path"]] += r["importance"]
-        return {
-            key: {p: v / n_chunks for p, v in d.items()} for key, d in sums.items()
+            cv, iv = r["corr"], r["importance"]
+            if cv is not None and not np.isnan(cv):
+                corrs.setdefault(key, {})[r["path"]] = cv
+            if iv is not None and not np.isnan(iv):
+                sums.setdefault(key, {}).setdefault(r["path"], 0.0)
+                sums[key][r["path"]] += iv
+        imps = {
+            key: {p_: v / n_chunks for p_, v in d.items()} for key, d in sums.items()
         }
+        return corrs, imps
 
     # -- level competition ---------------------------------------------------
 
@@ -392,9 +611,11 @@ class TreeCompetition:
         if not comps:
             return
 
-        # stage 1: correlation prune (reference lib/tree.R:505-545)
-        corrs = self._run_corr(comps)
-        rf_comps: dict[str, tuple[str | None, list[str]]] = {}
+        n_chunks = 1 if p.competition_mode == "corr_only" else max(1, p.nperm)
+        corrs, imps = self._run_stage(
+            {parent: (parent, descs) for parent, descs in comps.items()}, n_chunks
+        )
+
         for parent, descs in comps.items():
             pname = parent.rsplit("|", 1)[-1]
             pruned, survivors = [], []
@@ -417,13 +638,16 @@ class TreeCompetition:
                     f"win: all descendant winners highly correlated, {names}"
                 )
                 continue
-            rf_comps[parent] = (parent, survivors)
-        if not rf_comps:
-            return
-
-        # stage 2: RF importance, nperm chunks per competition
-        imps = self._run_importance(rf_comps, max(1, p.nperm))
-        for parent, (_, survivors) in rf_comps.items():
+            if p.competition_mode == "corr_only":
+                # deterministic collapse: survivors win, parent loses
+                self.nodes[parent].winner = False
+                self.nodes[parent].outcomes.append(
+                    "loss: corr-only mode, descendants survived"
+                )
+                for d in survivors:
+                    self.nodes[d].winner = True
+                    self.nodes[d].outcomes.append("win: corr survivor")
+                continue
             names = [parent] + sorted(survivors)
             avg = np.array([imps[parent][n] for n in names])
             winners = set(_decide_parent_descendant(names, avg, parent))
@@ -457,7 +681,7 @@ class TreeCompetition:
             return
         p = self.params
         n_chunks = max(1, p.nperm * p.super_filter_nperm_factor)
-        imps = self._run_importance({"__final__": (None, competitors)}, n_chunks)
+        _, imps = self._run_stage({"__final__": (None, competitors)}, n_chunks)
         names = sorted(imps["__final__"])
         avg = np.array([imps["__final__"][n] for n in names])
         winners = set(_decide_final(names, avg))

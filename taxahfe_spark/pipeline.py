@@ -97,41 +97,51 @@ def taxa_hfe(
             params, lowest_level=params.lowest_level - 1, max_level=params.max_level - 1
         )
 
-    import os, sys, time as _time
-    _dbg = os.environ.get("TAXAHFE_DEBUG_TIMING") == "1"
-    _t0 = _time.time()
-
-    def _tl(msg):
-        nonlocal _t0
-        if _dbg:
-            print(f"[timing] pipeline {msg}: {_time.time()-_t0:.2f}s", file=sys.stderr, flush=True)
-        _t0 = _time.time()
-
     meta_pdf = metadata.toPandas()
-    _tl("meta toPandas")
     meta_pdf["subject_id"] = meta_pdf["subject_id"].map(clean_entity)
-    entity_ids = meta_pdf["subject_id"].tolist()
+    if meta_pdf["subject_id"].duplicated().any():
+        dupes = meta_pdf["subject_id"][meta_pdf["subject_id"].duplicated()].tolist()
+        raise ValueError(
+            "subject ids collide after clean_names normalization "
+            f"(janitor-style cleaning maps distinct raw ids to {dupes[:5]}...); "
+            "rename the colliding subjects"
+        )
 
     # entity pruning to metadata subjects (left-semi in long layout)
     spark = metadata.sparkSession
-    ids_df = spark.createDataFrame([(e,) for e in entity_ids], ["entity_id"])
+    ids_df = spark.createDataFrame(
+        [(e,) for e in meta_pdf["subject_id"]], ["entity_id"]
+    )
     long = hierarchical_long.withColumn(
         "entity_id", clean_entity_expr("entity_id")
     ).join(F.broadcast(ids_df), "entity_id", "left_semi")
 
-    resolved = hierarchical_rollup(long).persist()
+    # the rollup eagerly checkpoints each level, so `resolved` is served from
+    # materialized blocks for every consumer below (no persist needed here)
+    resolved = hierarchical_rollup(long)
+
+    # the design universe is metadata INTERSECT data subjects (reference
+    # lib/tree.R:177-178 prunes data columns to metadata, and every
+    # downstream denominator/merge is over the data's sample columns);
+    # metadata-only subjects contribute neither filter denominators nor
+    # competition rows
+    present = {
+        r["entity_id"]
+        for r in resolved.select("entity_id").distinct().collect()
+    }
+    meta_pdf = meta_pdf[meta_pdf["subject_id"].isin(present)].reset_index(drop=True)
+    entity_ids = meta_pdf["subject_id"].tolist()
+
     flags = feature_filter_flags(
         resolved, len(entity_ids), filter_prevalence, filter_mean_abundance
     )
     flags_pdf = flags.select("path", "level", "passed_filters").toPandas()
-    _tl("rollup+flags")
 
     vectors = to_feature_vectors(resolved, entity_ids)
     label, cov, _ = prepare_label_covariates(meta_pdf, params.feature_type)
 
     comp = TreeCompetition(vectors, flags_pdf, label, cov, params)
     state = comp.run()
-    _tl("competition")
     return resolved, state
 
 
@@ -147,16 +157,21 @@ def winner_feature_matrix(
     is a bounded-width groupBy."""
     flag = "sf_winner" if use_super_filter else "winner"
     winners = [r.path for r in state[state[flag]].itertuples()]
-    spark = resolved.sparkSession
+    # ALL data entities appear in the output, even those whose every winner
+    # value is an implicit zero (the reference's transposed flattened frame
+    # keeps one row per sample column regardless of abundance)
+    entities = resolved.select(F.col("entity_id").alias("subject_id")).distinct()
     if not winners:
-        base = resolved.select(F.col("entity_id").alias("subject_id")).distinct()
+        base = entities
     else:
-        base = (
+        pivoted = (
             resolved.filter(F.col("path").isin(winners))
             .groupBy(F.col("entity_id").alias("subject_id"))
             .pivot("path", winners)
             .agg(F.first("value"))
-            .na.fill(0.0)
+        )
+        base = entities.join(pivoted, "subject_id", "left").na.fill(
+            0.0, subset=winners
         )
         renames = {w: clean_name(w) for w in winners}
         base = base.withColumnsRenamed(renames)
@@ -177,5 +192,41 @@ def write_summary_files(
     """Per-level summary export (reference lib/tree.R:205-245), written as a
     single parquet partitioned by level instead of one CSV per depth."""
     keep = state[state["passed_filters"]]["path"] if flags_passed_only else state["path"]
-    out = resolved.filter(F.col("path").isin(keep.tolist()))
+    spark = resolved.sparkSession
+    keep_df = spark.createDataFrame([(p,) for p in keep], ["path"])
+    out = resolved.join(F.broadcast(keep_df), "path", "left_semi")
     out.write.mode("overwrite").partitionBy("level").parquet(output_path)
+
+
+def write_level_summary_csvs(
+    resolved: DataFrame,
+    state: pd.DataFrame,
+    metadata: DataFrame,
+    output_dir: str,
+) -> list[str]:
+    """True per-depth transposed summary CSVs (reference lib/tree.R:205-245
+    write_summary_files): for each tree depth, the features passing filters
+    at that level become columns, one row per entity, joined to metadata.
+
+    Feature counts per level are taxonomy-sized, so each pivot is a
+    bounded-width groupBy; levels are independent jobs.
+    """
+    passed = state[state["passed_filters"]]
+    written: list[str] = []
+    for lvl in sorted(passed["level"].unique()):
+        paths = passed[passed["level"] == lvl]["path"].tolist()
+        lvl_df = (
+            resolved.filter(F.col("level") == int(lvl))
+            .filter(F.col("path").isin(paths))
+            .groupBy(F.col("entity_id").alias("subject_id"))
+            .pivot("path", paths)
+            .agg(F.first("value"))
+            .na.fill(0.0, subset=paths)
+            .withColumnsRenamed({p: clean_name(p) for p in paths})
+        )
+        meta = metadata.withColumn("subject_id", clean_entity_expr("subject_id"))
+        out = lvl_df.join(F.broadcast(meta), "subject_id", "inner")
+        dest = f"{output_dir}/level_{int(lvl)}"
+        out.coalesce(1).write.mode("overwrite").option("header", True).csv(dest)
+        written.append(dest)
+    return written

@@ -24,9 +24,13 @@ def streaming_session_stats(
 ) -> DataFrame:
     """Per-session aggregates over a stream: session_window + watermark.
 
-    Equivalent batch result: operators.windows.session_stats (the batch gap
-    rule and session_window produce identical session boundaries; the
-    watermark only bounds state, it does not change on-time results).
+    Near-equivalent batch result: operators.windows.session_stats. The one
+    boundary-equality difference: the batch rule starts a new session on
+    strict ``gap > gap_seconds`` (an event exactly gap_seconds later stays
+    in-session), while session_window closes at prev_ts + gap EXCLUSIVE (an
+    exact-boundary event starts a new session). For continuous timestamps the
+    results are identical; the watermark only bounds state, it does not
+    change on-time results.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     # watermarks require TIMESTAMP (LTZ); parquet often yields NTZ — the

@@ -147,12 +147,10 @@ def hierarchical_rollup(
         ).limit(0)
 
     # distinct observed paths per level — tiny, broadcast into anti-joins
-    observed_paths = observed.select("path", "level").distinct()
     spark = long_df.sparkSession
-    obs_paths_by_level = {
-        r["level"]: [] for r in observed_paths.select("level").distinct().collect()
-    }
-    for r in observed_paths.collect():  # taxonomy-sized (<=1e5), not data-sized
+    obs_paths_by_level: dict[int, list[str]] = {}
+    for r in observed.select("path", "level").distinct().collect():
+        # taxonomy-sized (<=1e5), not data-sized
         obs_paths_by_level.setdefault(r["level"], []).append(r["path"])
 
     resolved_per_level: list[DataFrame] = []
@@ -160,7 +158,11 @@ def hierarchical_rollup(
         "observed", F.lit(True)
     )
     if checkpoint:
-        current = current.localCheckpoint(eager=False)
+        # EAGER per-level checkpoints: each level is materialized once and
+        # every later consumer (next level's rollup, filters, vectors, winner
+        # matrix) reads the stored blocks — lazy checkpoints would replay the
+        # whole chain on the first action instead
+        current = current.localCheckpoint(eager=True)
     resolved_per_level.append(current)
 
     for lvl in range(max_level - 1, 0, -1):
@@ -177,19 +179,26 @@ def hierarchical_rollup(
         )
         obs_paths_lvl = obs_paths_by_level.get(lvl, [])
         if obs_paths_lvl:
-            # observed wins: input rows override the rollup at node granularity
-            rolled = rolled.filter(~F.col("path").isin(obs_paths_lvl))
+            # observed wins: input rows override the rollup at node
+            # granularity. Broadcast anti-join, not a literal IN-list — a
+            # 10^5-path isin builds a megabyte expression tree re-parsed
+            # per level.
+            obs_df = spark.createDataFrame([(p,) for p in obs_paths_lvl], ["path"])
+            rolled = rolled.join(F.broadcast(obs_df), "path", "left_anti")
         obs_lvl = observed.filter(F.col("level") == lvl).withColumn(
             "observed", F.lit(True)
         )
         current = obs_lvl.unionByName(rolled.select(*obs_lvl.columns))
         if checkpoint:
-            current = current.localCheckpoint(eager=False)
+            current = current.localCheckpoint(eager=True)
         resolved_per_level.append(current)
 
     out = resolved_per_level[0]
     for lvl_df in resolved_per_level[1:]:
         out = out.unionByName(lvl_df)
+    if checkpoint:
+        # all levels are materialized; the scratch cache is no longer needed
+        observed.unpersist()
     return out.select("path", "level", "entity_id", "value", "observed")
 
 

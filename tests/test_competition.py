@@ -200,3 +200,59 @@ def test_corr_spearman_monotone():
     r_s = _corr_with_parent(mat, "spearman")[0]
     assert r_s == pytest.approx(1.0)
     assert r_p < 1.0
+
+
+def test_shuffle_strategy_identical(spark, competition_state):
+    """The 100 TB vector path (applyInPandas over a distributed join, no
+    driver collect) must produce bit-identical decisions and outcomes."""
+    long = spark.createDataFrame(
+        _long_rows(), "clade_name string, entity_id string, value double"
+    )
+    resolved = hierarchical_rollup(long)
+    flags_pdf = (
+        feature_filter_flags(resolved, N, 0.1, 0.0)
+        .select("path", "level", "passed_filters")
+        .toPandas()
+    )
+    vectors = to_feature_vectors(resolved, ENTITIES)
+    params = CompetitionParams(
+        lowest_level=1, max_level=14, nperm=2, num_trees=40, seed=11,
+        vector_strategy="shuffle",
+    )
+    state2 = (
+        TreeCompetition(vectors, flags_pdf, LABEL, None, params)
+        .run()
+        .set_index("path")
+    )
+    pd.testing.assert_frame_equal(
+        competition_state.sort_index(), state2.sort_index()
+    )
+
+
+def test_corr_only_mode_deterministic_collapse(spark):
+    """corr_only: survivors win, parent loses; pruned lose; no RF, no SF."""
+    long = spark.createDataFrame(
+        _long_rows(), "clade_name string, entity_id string, value double"
+    )
+    resolved = hierarchical_rollup(long)
+    flags_pdf = (
+        feature_filter_flags(resolved, N, 0.1, 0.0)
+        .select("path", "level", "passed_filters")
+        .toPandas()
+    )
+    vectors = to_feature_vectors(resolved, ENTITIES)
+    params = CompetitionParams(
+        lowest_level=1, max_level=14, seed=11, competition_mode="corr_only",
+        disable_super_filter=True,
+    )
+    s = (
+        TreeCompetition(vectors, flags_pdf, LABEL, None, params)
+        .run()
+        .set_index("path")
+    )
+    # duplicate child pruned -> parent wins via all-correlated
+    assert bool(s.loc["k__a|p__cor|c__dup", "highly_correlated"]) is True
+    assert bool(s.loc["k__a|p__cor", "winner"]) is True
+    # leaf auto-wins, no RF losses anywhere, fully deterministic
+    assert not s["lost_rf"].any()
+    assert not s["sf_winner"].any()
