@@ -657,10 +657,43 @@ def q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with the md5-60bit word hash — bit-identical to the DuckDB
+    oracle (the default xxhash64 variant has no DuckDB analog and is covered
+    by pytest)."""
     from taxahfe_spark.operators.dedup import simhash
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash(docs).select("doc_id", "simhash")
+    return simhash(docs, hash_fn="md5").select("doc_id", "simhash")
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN cnt ELSE -cnt END) AS b{i}"
+        for i in range(60)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(60)
+    )
+    return f"""
+WITH dw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents
+),
+wc AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt,
+         ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(words) AS w FROM dw)
+  GROUP BY 1, 2, 4
+),
+bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM wc GROUP BY 1
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+"""
 
 
 def q_hfe_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -675,6 +708,190 @@ def q_hfe_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resolved, state = taxa_hfe(meta, long, params=params, filter_prevalence=0.05)
     return winner_feature_matrix(resolved, state, metadata=meta)
+
+
+def q_hfe_corr_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic prefix of the full HFE collapse: rollup + filters +
+    level-by-level correlation pruning with corr-only decisions (survivors
+    win, parent loses; all-pruned -> parent wins). Exercises every collapse
+    stage except the randomized RF — and is exactly SQL-expressible, so the
+    flagship pipeline gets a value-level oracle."""
+    from taxahfe_spark.operators.competition import CompetitionParams
+    from taxahfe_spark.pipeline import taxa_hfe
+
+    long, meta = supplier_hierarchy(spark, sf_dir)
+    params = CompetitionParams(
+        lowest_level=1, seed=42, competition_mode="corr_only",
+        disable_super_filter=True,
+    )
+    _, state = taxa_hfe(meta, long, params=params, filter_prevalence=0.05)
+    sdf = spark.createDataFrame(
+        state[["path", "level", "passed_filters", "highly_correlated", "winner"]]
+    )
+    return sdf.select(
+        "path",
+        F.col("level").cast("long").alias("level"),
+        "passed_filters",
+        "highly_correlated",
+        "winner",
+    )
+
+
+_HFE_CORR_COLLAPSE_ORACLE = r"""
+WITH long AS (
+  SELECT regexp_replace(lower(r_name || '|' || n_name || '|' || s_name),
+                        '[^_|a-z0-9]', '', 'g') AS path,
+         CAST(o_custkey AS VARCHAR) AS entity_id,
+         CAST(sum(l_quantity) AS DOUBLE) AS value
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey  = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+),
+nn AS (SELECT CAST(count(DISTINCT entity_id) AS DOUBLE) AS n FROM long),
+l3 AS (SELECT path, entity_id, value FROM long),
+l2 AS (
+  SELECT regexp_replace(path, '\|[^|]*$', '') AS path, entity_id,
+         sum(value) AS value
+  FROM l3 GROUP BY 1, 2
+),
+l1 AS (
+  SELECT regexp_replace(path, '\|[^|]*$', '') AS path, entity_id,
+         sum(value) AS value
+  FROM l2 GROUP BY 1, 2
+),
+resolved AS (
+  SELECT path, 3 AS level, entity_id, value FROM l3
+  UNION ALL SELECT path, 2, entity_id, value FROM l2
+  UNION ALL SELECT path, 1, entity_id, value FROM l1
+),
+stats AS (
+  SELECT path, min(level) AS level,
+         sum(CASE WHEN value <> 0 THEN 1 ELSE 0 END) AS prev,
+         sum(value) AS s1, sum(value * value) AS s2
+  FROM resolved GROUP BY 1
+),
+flags AS (
+  SELECT path, level,
+         (prev > (SELECT n FROM nn) * 0.05)
+           AND (s1 / (SELECT n FROM nn) > 0.0) AS passed
+  FROM stats
+),
+-- level 3: leaves auto-win iff they pass filters (no children)
+w3 AS (SELECT path, passed AS winner FROM flags WHERE level = 3),
+-- level 2 competitions: passed parents vs their winner children;
+-- Pearson over ALL n entities with implicit zeros, via raw moments
+pc23 AS (
+  SELECT c.path AS cpath, sum(p.value * c.value) AS spc
+  FROM resolved c
+  JOIN resolved p ON p.level = 2
+                 AND p.path = regexp_replace(c.path, '\|[^|]*$', '')
+                 AND p.entity_id = c.entity_id
+  WHERE c.level = 3
+  GROUP BY 1
+),
+corr23 AS (
+  SELECT w3.path AS cpath, f2.path AS ppath,
+         ((SELECT n FROM nn) * coalesce(pc.spc, 0) - sp.s1 * sc.s1)
+           / nullif(sqrt(((SELECT n FROM nn) * sp.s2 - sp.s1 * sp.s1)
+                       * ((SELECT n FROM nn) * sc.s2 - sc.s1 * sc.s1)), 0) AS r
+  FROM w3
+  JOIN flags f2 ON f2.path = regexp_replace(w3.path, '\|[^|]*$', '')
+               AND f2.level = 2 AND f2.passed
+  JOIN stats sp ON sp.path = f2.path
+  JOIN stats sc ON sc.path = w3.path
+  LEFT JOIN pc23 pc ON pc.cpath = w3.path
+  WHERE w3.winner
+),
+agg2 AS (
+  SELECT ppath, count(*) AS n_dw,
+         sum(CASE WHEN r IS NOT NULL AND r >= 0.95 THEN 1 ELSE 0 END) AS n_pruned
+  FROM corr23 GROUP BY 1
+),
+w2 AS (
+  SELECT f.path,
+         CASE WHEN NOT f.passed THEN FALSE
+              WHEN a.ppath IS NULL THEN TRUE
+              WHEN a.n_pruned = a.n_dw THEN TRUE
+              ELSE FALSE END AS winner
+  FROM flags f LEFT JOIN agg2 a ON a.ppath = f.path
+  WHERE f.level = 2
+),
+pruned23 AS (
+  SELECT cpath, (r IS NOT NULL AND r >= 0.95) AS pruned FROM corr23
+),
+s3 AS (
+  SELECT w3.path,
+         w3.winner AND NOT coalesce(p.pruned, FALSE) AS winner,
+         coalesce(p.pruned, FALSE) AS hc
+  FROM w3 LEFT JOIN pruned23 p ON p.cpath = w3.path
+),
+-- level 1: nearest descendant winners (winner nations, else their surviving
+-- supplier winners — filter-failed nations are transparent)
+dw1 AS (
+  SELECT regexp_replace(path, '\|[^|]*$', '') AS ppath, path AS dpath
+  FROM w2 WHERE winner
+  UNION ALL
+  SELECT regexp_replace(regexp_replace(s3.path, '\|[^|]*$', ''), '\|[^|]*$', ''),
+         s3.path
+  FROM s3
+  JOIN w2 ON w2.path = regexp_replace(s3.path, '\|[^|]*$', '')
+  WHERE s3.winner AND NOT w2.winner
+),
+pc1 AS (
+  SELECT d.dpath, sum(p.value * c.value) AS spc
+  FROM dw1 d
+  JOIN resolved c ON c.path = d.dpath
+  JOIN resolved p ON p.path = d.ppath AND p.entity_id = c.entity_id
+  GROUP BY 1
+),
+corr1 AS (
+  SELECT d.dpath, d.ppath,
+         ((SELECT n FROM nn) * coalesce(pc.spc, 0) - sp.s1 * sc.s1)
+           / nullif(sqrt(((SELECT n FROM nn) * sp.s2 - sp.s1 * sp.s1)
+                       * ((SELECT n FROM nn) * sc.s2 - sc.s1 * sc.s1)), 0) AS r
+  FROM dw1 d
+  JOIN flags f1 ON f1.path = d.ppath AND f1.level = 1 AND f1.passed
+  JOIN stats sp ON sp.path = d.ppath
+  JOIN stats sc ON sc.path = d.dpath
+  LEFT JOIN pc1 pc ON pc.dpath = d.dpath
+),
+agg1 AS (
+  SELECT ppath, count(*) AS n_dw,
+         sum(CASE WHEN r IS NOT NULL AND r >= 0.95 THEN 1 ELSE 0 END) AS n_pruned
+  FROM corr1 GROUP BY 1
+),
+w1 AS (
+  SELECT f.path,
+         CASE WHEN NOT f.passed THEN FALSE
+              WHEN a.ppath IS NULL THEN TRUE
+              WHEN a.n_pruned = a.n_dw THEN TRUE
+              ELSE FALSE END AS winner
+  FROM flags f LEFT JOIN agg1 a ON a.ppath = f.path
+  WHERE f.level = 1
+),
+pruned1 AS (
+  SELECT dpath, (r IS NOT NULL AND r >= 0.95) AS pruned FROM corr1
+),
+final AS (
+  SELECT s3.path,
+         s3.winner AND NOT coalesce(p1.pruned, FALSE) AS winner,
+         s3.hc OR coalesce(p1.pruned, FALSE) AS hc
+  FROM s3 LEFT JOIN pruned1 p1 ON p1.dpath = s3.path
+  UNION ALL
+  SELECT w2.path,
+         w2.winner AND NOT coalesce(p1.pruned, FALSE),
+         coalesce(p1.pruned, FALSE)
+  FROM w2 LEFT JOIN pruned1 p1 ON p1.dpath = w2.path
+  UNION ALL
+  SELECT path, winner, FALSE FROM w1
+)
+SELECT f.path, CAST(f.level AS BIGINT) AS level, f.passed AS passed_filters,
+       x.hc AS highly_correlated, x.winner AS winner
+FROM flags f JOIN final x USING (path)
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -703,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_docs": q_simhash_docs,
         "hfe_collapse": q_hfe_collapse,
+        "hfe_corr_collapse": q_hfe_corr_collapse,
     }
 
 
@@ -897,6 +1115,10 @@ def oracle_sql() -> dict[str, str]:
         "token_counts_docs": _TOKEN_COUNTS_ORACLE,
         "ngram_jaccard_docs": _NGRAM_JACCARD_ORACLE,
         "cosine_topk_embeddings": _COSINE_ORACLE,
-        # minhash_dedup_docs / simhash_docs / hfe_collapse: hash- or
-        # RF-randomized -> rows-only checks (intentionally no oracle)
+        "simhash_docs": _simhash_oracle(),
+        "hfe_corr_collapse": _HFE_CORR_COLLAPSE_ORACLE,
+        # minhash_dedup_docs (xxhash64 has no DuckDB analog) and hfe_collapse
+        # (RF-randomized decisions) are genuinely non-SQL-expressible ->
+        # rows-only checks; hfe_corr_collapse oracles the deterministic
+        # prefix of the collapse and simhash_docs the md5 fingerprint math
     }

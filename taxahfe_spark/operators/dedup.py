@@ -235,20 +235,37 @@ def connected_components(
     return labels
 
 
+def md5_hash60(col) -> F.Column:
+    """Engine-portable deterministic 60-bit hash: the first 15 hex chars of
+    md5 parsed as an integer. Identical in DuckDB via
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT`` — used wherever an oracle
+    must reproduce hash values exactly (xxhash64 has no DuckDB analog)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash over word hashes, (id, simhash: bigint).
+    """SimHash over word hashes, (id, simhash: bigint).
 
     Weighted bit voting entirely in built-ins: explode words with counts,
-    64 conditional sums, reassemble the fingerprint with shiftleft/bitwise or.
+    one conditional sum per bit, reassemble the fingerprint with
+    shiftleft/bitwise or. ``hash_fn``: "xxhash64" (64-bit, fastest) or
+    "md5" (60-bit md5_hash60 — bit-identical to the DuckDB oracle).
     """
+    n_bits = 64 if hash_fn == "xxhash64" else 60
     wc = (
         words(df, text_col)
         .select(id_col, F.explode("words").alias("w"))
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", F.xxhash64("w"))
+        .withColumn(
+            "h", F.xxhash64("w") if hash_fn == "xxhash64" else md5_hash60("w")
+        )
     )
     bit_sums = wc.groupBy(id_col).agg(
         *[
@@ -258,11 +275,11 @@ def simhash(
                     F.col("cnt"),
                 ).otherwise(-F.col("cnt"))
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(n_bits)
         ]
     )
     fp = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         fp = fp.bitwiseOR(
             F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
                 F.lit(0).cast("long")
