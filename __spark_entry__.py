@@ -894,6 +894,199 @@ FROM flags f JOIN final x USING (path)
 """
 
 
+def _customer_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("subject_id"),
+        F.when(F.col("c_acctbal") > 0, F.lit("pos")).otherwise(F.lit("neg")).alias(
+            "feature_of_interest"
+        ),
+    )
+
+
+def q_ml_split_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 0.8 split + 5-fold CV assignment (dietML M2/M4) with the
+    md5 hash ranking, value-verified against the same ranking in DuckDB."""
+    from taxahfe_spark.dietml import fold_assignments, stratified_split
+
+    meta = _customer_meta(spark, sf_dir)
+    split = stratified_split(meta, seed=42, hash_fn="md5")
+    folds = fold_assignments(
+        split.filter("is_train"), folds=5, repeats=1, seed=42, hash_fn="md5"
+    ).drop("repeat")
+    return (
+        split.join(folds, "subject_id", "left")
+        .select(
+            "subject_id",
+            "feature_of_interest",
+            "is_train",
+            F.col("fold").cast("long").alias("fold"),
+        )
+    )
+
+
+_ML_SPLIT_ORACLE = """
+WITH meta AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS subject_id,
+         CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'neg' END AS feature_of_interest
+  FROM customer
+),
+ranked AS (
+  SELECT subject_id, feature_of_interest,
+         row_number() OVER (
+           PARTITION BY feature_of_interest
+           ORDER BY md5(subject_id || ':42'), subject_id) AS rn,
+         count(*) OVER (PARTITION BY feature_of_interest) AS n
+  FROM meta
+),
+split AS (
+  SELECT subject_id, feature_of_interest, rn <= ceil(0.8 * n) AS is_train
+  FROM ranked
+),
+folds AS (
+  SELECT subject_id,
+         CAST((row_number() OVER (
+           PARTITION BY feature_of_interest
+           ORDER BY md5(subject_id || ':7961'), subject_id) - 1) % 5 AS BIGINT)
+           AS fold
+  FROM split WHERE is_train
+)
+SELECT s.subject_id, s.feature_of_interest, s.is_train, f.fold
+FROM split s LEFT JOIN folds f USING (subject_id)
+"""
+
+
+def q_ml_null_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-model baseline (dietML M9): majority class fit on the md5 train
+    split, reference classification null metric subset on test."""
+    from taxahfe_spark.dietml import null_model_metrics, stratified_split
+
+    meta = _customer_meta(spark, sf_dir)
+    split = stratified_split(meta, seed=42, hash_fn="md5")
+    m = null_model_metrics(
+        split.filter("is_train"), split.filter("NOT is_train"),
+        "feature_of_interest", "factor",
+    )
+    rows = [(k, round(float(v), 6)) for k, v in sorted(m.items())]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
+_ML_NULL_ORACLE = """
+WITH meta AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS subject_id,
+         CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'neg' END AS lab
+  FROM customer
+),
+ranked AS (
+  SELECT subject_id, lab,
+         row_number() OVER (PARTITION BY lab
+           ORDER BY md5(subject_id || ':42'), subject_id) AS rn,
+         count(*) OVER (PARTITION BY lab) AS n
+  FROM meta
+),
+split AS (SELECT subject_id, lab, rn <= ceil(0.8 * n) AS is_train FROM ranked),
+maj AS (
+  SELECT lab FROM split WHERE is_train
+  GROUP BY lab ORDER BY count(*) DESC, lab ASC LIMIT 1
+),
+test AS (
+  SELECT lab AS truth, (SELECT lab FROM maj) AS est
+  FROM split WHERE NOT is_train
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM test),
+classes AS (SELECT DISTINCT truth AS cls FROM test
+            UNION SELECT DISTINCT est FROM test),
+per AS (
+  SELECT c.cls,
+         (SELECT CAST(coalesce(count(*), 0) AS DOUBLE) FROM test WHERE truth = c.cls) AS row_m,
+         (SELECT CAST(coalesce(count(*), 0) AS DOUBLE) FROM test WHERE est = c.cls) AS col_m,
+         (SELECT CAST(coalesce(count(*), 0) AS DOUBLE) FROM test
+          WHERE truth = c.cls AND est = c.cls) AS diag
+  FROM classes c
+),
+scored AS (
+  SELECT cls,
+         CASE WHEN row_m > 0 THEN diag / row_m END AS recall,
+         CASE WHEN ((SELECT n FROM nn) - row_m) > 0
+              THEN ((SELECT n FROM nn) - row_m - col_m + diag)
+                   / ((SELECT n FROM nn) - row_m) END AS spec,
+         CASE WHEN col_m > 0 THEN diag / col_m END AS prec
+  FROM per
+),
+f1s AS (
+  SELECT cls,
+         CASE WHEN prec IS NOT NULL AND recall IS NOT NULL AND (prec + recall) > 0
+              THEN 2 * prec * recall / (prec + recall) ELSE 0.0 END AS f1,
+         (recall + spec) / 2 AS balpart
+  FROM scored
+),
+vals AS (
+  SELECT 'accuracy' AS metric,
+         (SELECT sum(diag) FROM per) / (SELECT n FROM nn) AS value
+  UNION ALL
+  SELECT 'bal_accuracy', (SELECT avg(balpart) FROM f1s)
+  UNION ALL
+  SELECT 'f_meas', (SELECT avg(f1) FROM f1s)
+)
+SELECT metric, round(value, 6) AS value FROM vals
+"""
+
+
+def q_ml_linreg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test regression (dietML M10 metric set): one-
+    feature OLS (closed form via regr_slope/intercept) fit on train events,
+    scored on test with mae/rmse/rsq/ccc — every formula value-verified."""
+    from taxahfe_spark.functions.metrics import regression_metrics
+    from taxahfe_spark.operators.windows import ts_seconds
+
+    events = _t(spark, sf_dir, "events")
+    ev = events.select(
+        "event_id", ts_seconds(events, "ts").alias("x"), F.col("value").alias("y")
+    )
+    train = ev.filter(F.col("event_id") % 5 != 0)
+    test = ev.filter(F.col("event_id") % 5 == 0)
+    fit = train.agg(
+        F.regr_slope("y", "x").alias("b"), F.regr_intercept("y", "x").alias("a")
+    ).first()
+    pred = test.select(
+        F.col("y").alias("truth"),
+        (F.lit(float(fit["a"])) + F.lit(float(fit["b"])) * F.col("x")).alias("estimate"),
+    )
+    m = regression_metrics(pred)
+    rows = [(k, round(float(v), 6)) for k, v in sorted(m.items())]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
+_ML_LINREG_ORACLE = """
+WITH ev AS (
+  SELECT event_id, epoch(ts) AS x, value AS y FROM events
+),
+fit AS (
+  SELECT regr_slope(y, x) AS b, regr_intercept(y, x) AS a
+  FROM ev WHERE event_id % 5 <> 0
+),
+pred AS (
+  SELECT y AS truth, (SELECT a FROM fit) + (SELECT b FROM fit) * x AS estimate
+  FROM ev WHERE event_id % 5 = 0
+),
+agg AS (
+  SELECT avg(abs(truth - estimate)) AS mae,
+         sqrt(avg((truth - estimate) * (truth - estimate))) AS rmse,
+         covar_samp(truth, estimate) AS cov,
+         var_samp(truth) AS vt, var_samp(estimate) AS ve,
+         avg(truth) AS mt, avg(estimate) AS me
+  FROM pred
+),
+vals AS (
+  SELECT 'ccc' AS metric,
+         2 * cov / (vt + ve + (mt - me) * (mt - me)) AS value FROM agg
+  UNION ALL SELECT 'mae', mae FROM agg
+  UNION ALL SELECT 'rmse', rmse FROM agg
+  UNION ALL SELECT 'rsq', (cov * cov) / (vt * ve) FROM agg
+)
+SELECT metric, round(value, 6) AS value FROM vals
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -921,6 +1114,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "hfe_collapse": q_hfe_collapse,
         "hfe_corr_collapse": q_hfe_corr_collapse,
+        "ml_split_folds": q_ml_split_folds,
+        "ml_null_metrics": q_ml_null_metrics,
+        "ml_linreg_metrics": q_ml_linreg_metrics,
     }
 
 
@@ -1117,6 +1313,9 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_embeddings": _COSINE_ORACLE,
         "simhash_docs": _simhash_oracle(),
         "hfe_corr_collapse": _HFE_CORR_COLLAPSE_ORACLE,
+        "ml_split_folds": _ML_SPLIT_ORACLE,
+        "ml_null_metrics": _ML_NULL_ORACLE,
+        "ml_linreg_metrics": _ML_LINREG_ORACLE,
         # minhash_dedup_docs (xxhash64 has no DuckDB analog) and hfe_collapse
         # (RF-randomized decisions) are genuinely non-SQL-expressible ->
         # rows-only checks; hfe_corr_collapse oracles the deterministic

@@ -1,0 +1,711 @@
+"""dietML: the reference's ML surface (model registry, split/CV/recipe,
+collinearity reduction, grid tuning with pct-loss selection, null-model
+baseline, metric sets) on pyspark.ml.
+
+Reference mapping (SURVEY.md §2.11):
+- M1  model registry rf/enet/lasso/ridge/xgboost/svm  <- lib/diet_ml_funcs.R:16-111
+      (registry at 91-99; "xgboost" realized as Spark GBT, "svm" as LinearSVC
+      — linear kernel, classification-only; "mars" has no Spark analog and
+      raises)
+- M2/M3 stratified 0.8 split / split object           <- cmd/taxa_hfe_ml.R:52-54,
+      lib/diet_ml_funcs.R:664-674 (hash-ranked, layout-invariant)
+- M4  stratified repeated k-fold CV                   <- lib/diet_ml_funcs.R:676-684
+- M5  recipe: novel->dummy->zv->(center/scale)->corr  <- lib/diet_ml_funcs.R:686-711
+- M6  VIF + pairwise-corr collinearity filter         <- lib/diet_ml_funcs.R:1029-1163
+- M7  HP tuning (deterministic grid + early stop standing in for tune_bayes —
+      the Spark idiom per SURVEY §7.5)                <- lib/diet_ml_funcs.R:722-958
+- M8  select_by_pct_loss with per-model simplicity    <- lib/diet_ml_funcs.R:818-834
+- M9  null model (majority class / mean)              <- lib/diet_ml_funcs.R:342-419
+- M10 last_fit + metric sets incl kap/ccc/bal_acc     <- lib/diet_ml_funcs.R:960-1027
+- M12 summarized-levels mode                          <- lib/methods.R:144-181
+- M13 result registry                                 <- lib/tree.R:1011-1028
+- S8  ml_results.csv-style append sink                <- lib/diet_ml_funcs.R:987-1013
+
+Scale notes: every fit is a distributed pyspark.ml estimator over the row
+dimension (the 100 TB axis — entity x timestamp samples); only
+feature-count-sized artifacts (p x p correlation matrices, confusion
+matrices, CV metric tables) ever reach the driver. Randomness is rooted in
+one seed and derived per (fold, repeat, candidate), so results are
+partition-layout-invariant.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from taxahfe_spark.functions.metrics import (
+    classification_metrics,
+    regression_metrics,
+)
+
+MAXIMIZE = {"roc_auc", "bal_accuracy", "accuracy", "kap", "f_meas", "rsq", "ccc"}
+MINIMIZE = {"mae", "rmse"}
+
+
+def _hash_rank_col(id_col: str, seed: int, hash_fn: str) -> F.Column:
+    """Deterministic, engine-portable ranking key for splits/folds.
+
+    "xxhash64" is fastest; "md5" is reproducible in DuckDB (used by the
+    oracle-checked split query).
+    """
+    if hash_fn == "md5":
+        return F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
+    return F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).cast("string")
+
+
+def _strata_col(label_col: str, feature_type: str, breaks: int = 4) -> F.Column:
+    """Stratification key: the label itself for factors; quantile bins for
+    numeric responses (rsample::initial_split(strata=...) default breaks=4)."""
+    if feature_type == "factor":
+        return F.col(label_col).cast("string")
+    return F.ntile(breaks).over(Window.orderBy(F.col(label_col).cast("double"))).cast(
+        "string"
+    )
+
+
+def stratified_split(
+    df: DataFrame,
+    label_col: str = "feature_of_interest",
+    id_col: str = "subject_id",
+    train_frac: float = 0.8,
+    seed: int = 42,
+    feature_type: str = "factor",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Adds ``is_train``: within each stratum, ids ranked by a seeded hash;
+    first ceil(train_frac * n) go to train (reference rsample initial_split,
+    cmd/taxa_hfe_ml.R:52-54). A pure function of (id, seed) — stable across
+    cluster sizes and reruns."""
+    strata = _strata_col(label_col, feature_type)
+    d = df.withColumn("__stratum", strata)
+    w = Window.partitionBy("__stratum").orderBy(
+        _hash_rank_col(id_col, seed, hash_fn).asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy("__stratum")
+    return d.withColumn(
+        "is_train",
+        F.row_number().over(w) <= F.ceil(F.count(F.lit(1)).over(wn) * train_frac),
+    ).drop("__stratum")
+
+
+def fold_assignments(
+    train: DataFrame,
+    label_col: str = "feature_of_interest",
+    id_col: str = "subject_id",
+    folds: int = 10,
+    repeats: int = 3,
+    seed: int = 42,
+    feature_type: str = "factor",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Stratified repeated k-fold ids (reference vfold_cv, lib/diet_ml_funcs
+    .R:676-684): one row per (id, repeat) with a fold in [0, folds); within
+    each stratum the hash ranking deals ids round-robin so folds are
+    balanced per class."""
+    strata = _strata_col(label_col, feature_type)
+    d = train.select(id_col, strata.alias("__stratum"))
+    out = None
+    for r in range(repeats):
+        w = Window.partitionBy("__stratum").orderBy(
+            _hash_rank_col(id_col, seed + 7919 * (r + 1), hash_fn).asc(),
+            F.col(id_col).asc(),
+        )
+        one = d.select(
+            id_col,
+            F.lit(r).alias("repeat"),
+            ((F.row_number().over(w) - 1) % folds).alias("fold"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+# -- recipe (M5) --------------------------------------------------------------
+
+
+@dataclass
+class Recipe:
+    """Fitted preprocessing state: everything estimated on TRAIN only
+    (the leakage contract, reference lib/diet_ml_funcs.R:686-711)."""
+
+    numeric_cols: list[str]
+    nominal_levels: dict[str, list[str]]  # col -> train categories
+    keep_cols: list[str]  # post-zv / post-corr feature columns
+    center: dict[str, float] = field(default_factory=dict)
+    scale: dict[str, float] = field(default_factory=dict)
+    dropped_zv: list[str] = field(default_factory=list)
+    dropped_corr: list[str] = field(default_factory=list)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        cols = []
+        for c, levels in self.nominal_levels.items():
+            for lv in levels:
+                name = f"{c}_{lv}"
+                if name in self.keep_cols:
+                    cols.append(
+                        (F.col(c).cast("string") == lv).cast("double").alias(name)
+                    )
+        for c in self.numeric_cols:
+            if c in self.keep_cols:
+                e = F.col(c).cast("double")
+                if c in self.center:
+                    e = (e - self.center[c]) / (self.scale.get(c) or 1.0)
+                cols.append(e.alias(c))
+        others = [c for c in df.columns if c not in self.nominal_levels and c not in self.numeric_cols]
+        return df.select(*others, *cols)
+
+
+def fit_recipe(
+    train: DataFrame,
+    feature_cols: list[str],
+    standardize: bool,
+    cor_level: float = 1.0,
+) -> Recipe:
+    """step_novel -> step_dummy -> step_zv -> (center+scale) -> step_corr.
+
+    One-hot categories come from train; unseen test levels encode to
+    all-zeros (the effect of step_novel's synthetic level, which is all-zero
+    in train). Zero-variance and correlation decisions use train statistics
+    only. All stats come from two Spark jobs regardless of p.
+    """
+    dtypes = dict(train.dtypes)
+    nominal = [c for c in feature_cols if dtypes[c] == "string"]
+    numeric = [c for c in feature_cols if c not in nominal]
+    levels = {
+        c: sorted(
+            str(r[c])
+            for r in train.select(c).distinct().collect()
+            if r[c] is not None
+        )
+        for c in nominal
+    }
+    # expand dummies then compute variance/mean for every candidate column
+    exprs = []
+    names: list[str] = []
+    for c, lvs in levels.items():
+        for lv in lvs:
+            names.append(f"{c}_{lv}")
+            exprs.append((F.col(c).cast("string") == lv).cast("double").alias(names[-1]))
+    for c in numeric:
+        names.append(c)
+        exprs.append(F.col(c).cast("double").alias(c))
+    expanded = train.select(*exprs)
+    stats = expanded.agg(
+        *[F.var_samp(c).alias(f"v_{i}") for i, c in enumerate(names)],
+        *[F.avg(c).alias(f"m_{i}") for i, c in enumerate(names)],
+    ).first()
+    variances = {c: (stats[f"v_{i}"] or 0.0) for i, c in enumerate(names)}
+    means = {c: stats[f"m_{i}"] for i, c in enumerate(names)}
+    keep = [c for c in names if variances[c] > 0.0]
+    dropped_zv = [c for c in names if c not in keep]
+
+    dropped_corr: list[str] = []
+    if cor_level < 1.0 and len(keep) > 1:
+        corr = _corr_matrix(expanded.select(*keep), keep)
+        dropped_corr = _find_correlated(corr, keep, cor_level)
+        keep = [c for c in keep if c not in dropped_corr]
+
+    center, scale = {}, {}
+    if standardize:
+        for c in numeric:
+            if c in keep:
+                center[c] = float(means[c])
+                scale[c] = float(np.sqrt(variances[c]))
+    return Recipe(
+        numeric_cols=numeric,
+        nominal_levels=levels,
+        keep_cols=keep,
+        center=center,
+        scale=scale,
+        dropped_zv=dropped_zv,
+        dropped_corr=dropped_corr,
+    )
+
+
+def _corr_matrix(df: DataFrame, cols: list[str]) -> np.ndarray:
+    """p x p Pearson matrix via pyspark.ml.stat.Correlation (one job; the
+    matrix is feature-count-sized, the only thing that reaches the driver)."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import Correlation
+
+    vec = VectorAssembler(inputCols=cols, outputCol="__v", handleInvalid="keep")
+    m = Correlation.corr(vec.transform(df).select("__v"), "__v").first()[0]
+    return m.toArray()
+
+
+def _find_correlated(corr: np.ndarray, cols: list[str], threshold: float) -> list[str]:
+    """caret::findCorrelation-style greedy removal (recipes::step_corr):
+    while any |r| > threshold, drop the member of the worst pair with the
+    larger mean absolute correlation."""
+    a = np.abs(np.nan_to_num(corr.copy()))
+    np.fill_diagonal(a, 0.0)
+    active = list(range(len(cols)))
+    dropped: list[str] = []
+    while True:
+        sub = a[np.ix_(active, active)]
+        if sub.size == 0 or sub.max() <= threshold:
+            break
+        i, j = np.unravel_index(np.argmax(sub), sub.shape)
+        gi, gj = active[i], active[j]
+        mean_i, mean_j = a[gi, active].mean(), a[gj, active].mean()
+        out = gi if mean_i >= mean_j else gj
+        dropped.append(cols[out])
+        active.remove(out)
+    return dropped
+
+
+def reduce_collinearity(
+    train: DataFrame,
+    feature_cols: list[str],
+    vif_threshold: float = 0.0,
+    cor_level: float = 1.0,
+) -> tuple[list[str], pd.DataFrame]:
+    """M6: pairwise-corr prune then iterative VIF prune on TRAIN numerics
+    (reference reduce_collinearity_train, lib/diet_ml_funcs.R:1029-1163).
+    VIF_j = diag(inv(R))_j; drop the max until all below threshold.
+    Returns (kept columns, audit frame of drops)."""
+    audit_rows = []
+    dtypes = dict(train.dtypes)
+    numeric = [c for c in feature_cols if dtypes[c] != "string"]
+    keep = list(numeric)
+    if len(keep) > 1 and (cor_level < 1.0 or vif_threshold > 0.0):
+        proj = train.select(*[F.col(c).cast("double").alias(c) for c in keep])
+        corr = _corr_matrix(proj, keep)
+        if cor_level < 1.0:
+            for c in _find_correlated(corr, keep, cor_level):
+                audit_rows.append({"column": c, "reason": "pairwise_corr"})
+            corr_drop = {r["column"] for r in audit_rows}
+            idx = [i for i, c in enumerate(keep) if c not in corr_drop]
+            corr = corr[np.ix_(idx, idx)]
+            keep = [c for c in keep if c not in corr_drop]
+        while vif_threshold > 0.0 and len(keep) > 1:
+            r = np.nan_to_num(corr, nan=0.0)
+            np.fill_diagonal(r, 1.0)
+            try:
+                vif = np.diag(np.linalg.pinv(r))
+            except np.linalg.LinAlgError:
+                break
+            worst = int(np.argmax(vif))
+            if vif[worst] <= vif_threshold:
+                break
+            audit_rows.append(
+                {"column": keep[worst], "reason": f"vif={vif[worst]:.2f}"}
+            )
+            keep.pop(worst)
+            corr = np.delete(np.delete(corr, worst, 0), worst, 1)
+    kept = keep + [c for c in feature_cols if dtypes[c] == "string"]
+    return kept, pd.DataFrame(audit_rows, columns=["column", "reason"])
+
+
+# -- model registry (M1) ------------------------------------------------------
+
+
+def _estimator(model: str, feature_type: str, params: dict, seed: int):
+    """Build a pyspark.ml estimator for one HP candidate."""
+    from pyspark.ml.classification import (
+        GBTClassifier,
+        LinearSVC,
+        LogisticRegression,
+        RandomForestClassifier,
+    )
+    from pyspark.ml.regression import (
+        GBTRegressor,
+        LinearRegression,
+        RandomForestRegressor,
+    )
+
+    cls = feature_type == "factor"
+    common = dict(featuresCol="features", labelCol="label")
+    if model == "rf":
+        k = dict(
+            numTrees=int(params.get("num_trees", 100)),
+            minInstancesPerNode=int(params["min_n"]),
+            featureSubsetStrategy=str(params["mtry"]),
+            seed=seed,
+            **common,
+        )
+        return RandomForestClassifier(**k) if cls else RandomForestRegressor(**k)
+    if model in ("enet", "lasso", "ridge"):
+        mixture = {"lasso": 1.0, "ridge": 0.0}.get(model, params.get("mixture", 0.5))
+        k = dict(
+            regParam=float(params["penalty"]),
+            elasticNetParam=float(mixture),
+            **common,
+        )
+        return LogisticRegression(**k) if cls else LinearRegression(**k)
+    if model == "xgboost":
+        k = dict(
+            maxDepth=int(params["tree_depth"]),
+            maxIter=int(params["trees"]),
+            stepSize=float(params.get("learn_rate", 0.1)),
+            seed=seed,
+            **common,
+        )
+        return GBTClassifier(**k) if cls else GBTRegressor(**k)
+    if model == "svm":
+        if not cls:
+            raise NotImplementedError("svm regression is not Spark-native")
+        return LinearSVC(regParam=float(params["cost"]), **common)
+    raise NotImplementedError(
+        f"model '{model}' has no Spark-native analog (reference registry "
+        "lib/diet_ml_funcs.R:91-99; 'mars' is a declared non-goal)"
+    )
+
+
+def _grid(model: str, tune_length: int, seed: int) -> list[dict]:
+    """Deterministic HP candidate list, truncated to tune_length after a
+    seeded shuffle (the grid analog of tune_bayes' sampled search)."""
+    if model == "rf":
+        combos = [
+            {"min_n": n, "mtry": m}
+            for n in (1, 5, 10, 20)
+            for m in ("sqrt", "0.33", "0.5")
+        ]
+    elif model in ("lasso", "ridge"):
+        combos = [{"penalty": p} for p in np.logspace(-4, 0.5, 10)]
+    elif model == "enet":
+        combos = [
+            {"penalty": p, "mixture": m}
+            for p in np.logspace(-4, 0.5, 6)
+            for m in (0.25, 0.5, 0.75)
+        ]
+    elif model == "xgboost":
+        combos = [
+            {"tree_depth": d, "trees": t}
+            for d in (2, 4, 6)
+            for t in (20, 50)
+        ]
+    elif model == "svm":
+        combos = [{"cost": c} for c in np.logspace(-3, 1, 8)]
+    else:
+        raise NotImplementedError(model)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(combos))
+    return [combos[i] for i in order[: max(1, min(tune_length, len(combos)))]]
+
+
+_SIMPLICITY = {
+    # reference select_by_pct_loss orderings (lib/diet_ml_funcs.R:818-834):
+    # sort keys listed most-significant first; +key = ascending (prefer small)
+    "rf": [("-min_n",), ("mtry",)],
+    "enet": [("-penalty",)],
+    "lasso": [("-penalty",)],
+    "ridge": [("-penalty",)],
+    "xgboost": [("tree_depth",), ("trees",)],
+    "svm": [("cost",)],
+}
+
+
+def select_by_pct_loss(
+    results: pd.DataFrame, metric: str, pct_loss: float, model: str
+) -> dict:
+    """M8: the simplest candidate within pct_loss % of the best CV score.
+    results columns: params (dict), mean_metric."""
+    maximize = metric in MAXIMIZE
+    best = results["mean_metric"].max() if maximize else results["mean_metric"].min()
+    if pct_loss <= 0:
+        row = results.loc[
+            results["mean_metric"].idxmax() if maximize else results["mean_metric"].idxmin()
+        ]
+        return row["params"]
+    bound = best * (1 - pct_loss / 100) if maximize else best * (1 + pct_loss / 100)
+    ok = results[
+        results["mean_metric"] >= bound if maximize else results["mean_metric"] <= bound
+    ].copy()
+
+    def sort_key(params: dict):
+        key = []
+        for (spec,) in _SIMPLICITY[model]:
+            neg = spec.startswith("-")
+            name = spec.lstrip("-")
+            v = params.get(name, 0)
+            if isinstance(v, str):  # mtry strategies: sqrt < 0.33 < 0.5 by text
+                v = {"sqrt": 0.0, "0.33": 0.33, "0.5": 0.5}.get(v, 1.0)
+            key.append(-float(v) if neg else float(v))
+        return tuple(key)
+
+    ok["__key"] = ok["params"].map(sort_key)
+    return ok.sort_values("__key").iloc[0]["params"]
+
+
+# -- fitting helpers ----------------------------------------------------------
+
+
+def _prep_label(df: DataFrame, label_col: str, feature_type: str, classes: list[str] | None):
+    if feature_type == "factor":
+        mapping = {c: i for i, c in enumerate(classes)}
+        expr = F.lit(None).cast("double")
+        for c, i in mapping.items():
+            expr = F.when(F.col(label_col).cast("string") == c, float(i)).otherwise(expr)
+        return df.withColumn("label", expr)
+    return df.withColumn("label", F.col(label_col).cast("double"))
+
+
+def _assemble(df: DataFrame, cols: list[str]) -> DataFrame:
+    from pyspark.ml.feature import VectorAssembler
+
+    return VectorAssembler(
+        inputCols=cols, outputCol="features", handleInvalid="keep"
+    ).transform(df)
+
+
+def _predict_frame(
+    fitted, df: DataFrame, label_col: str, feature_type: str, classes: list[str] | None
+) -> DataFrame:
+    """(truth, estimate[, prob]) from a fitted model; estimates mapped back
+    to label strings for classification."""
+    pred = fitted.transform(df)
+    if feature_type == "factor":
+        expr = F.lit(None).cast("string")
+        for i, c in enumerate(classes):
+            expr = F.when(F.col("prediction") == float(i), c).otherwise(expr)
+        out = pred.withColumn("estimate", expr).withColumnRenamed(label_col, "truth")
+        if "probability" in pred.columns:
+            from pyspark.ml.functions import vector_to_array
+
+            out = out.withColumn("prob", vector_to_array("probability")[0])
+        return out
+    return pred.select(
+        F.col(label_col).cast("double").alias("truth"),
+        F.col("prediction").cast("double").alias("estimate"),
+    )
+
+
+def _score(
+    pred: DataFrame, feature_type: str, classes: list[str] | None
+) -> dict[str, float]:
+    if feature_type == "factor":
+        return classification_metrics(
+            pred, "truth", "estimate",
+            prob_col="prob" if "prob" in pred.columns else None,
+            event_class=classes[0] if classes else None,
+        )
+    return regression_metrics(pred, "truth", "estimate")
+
+
+def null_model_metrics(
+    train: DataFrame,
+    test: DataFrame,
+    label_col: str,
+    feature_type: str,
+) -> dict[str, float]:
+    """M9: majority-class / mean predictor fit on train, scored on test with
+    the reference null-model metric subset (lib/diet_ml_funcs.R:351-355:
+    classification bal_accuracy/f_meas/accuracy, regression mae/rmse/ccc)."""
+    if feature_type == "factor":
+        top = (
+            train.groupBy(label_col)
+            .count()
+            .orderBy(F.col("count").desc(), F.col(label_col).asc())
+            .first()[label_col]
+        )
+        pred = test.select(
+            F.col(label_col).cast("string").alias("truth"),
+            F.lit(str(top)).alias("estimate"),
+        )
+        m = classification_metrics(pred, "truth", "estimate")
+        return {k: m[k] for k in ("bal_accuracy", "f_meas", "accuracy")}
+    mean_v = train.agg(F.avg(F.col(label_col).cast("double"))).first()[0]
+    pred = test.select(
+        F.col(label_col).cast("double").alias("truth"),
+        F.lit(float(mean_v)).alias("estimate"),
+    )
+    m = regression_metrics(pred, "truth", "estimate")
+    return {k: m[k] for k in ("mae", "rmse", "ccc")}
+
+
+# -- orchestrator (the reference's run_dietML flow) ---------------------------
+
+
+@dataclass
+class DietMLResult:
+    """M13: attribute-tagged result registry (reference store_diet_ml_inputs,
+    lib/tree.R:1011-1028)."""
+
+    model: str
+    metric: str
+    best_params: dict
+    cv_results: pd.DataFrame
+    full_results: pd.DataFrame  # .metric / estimate / null_model_avg (J7 merge)
+    train_metrics: dict[str, float]
+    collinearity_audit: pd.DataFrame
+    recipe: Recipe
+
+
+def run_dietml(
+    df: DataFrame,
+    label_col: str = "feature_of_interest",
+    id_col: str = "subject_id",
+    feature_type: str = "factor",
+    model: str = "rf",
+    train_frac: float = 0.8,
+    folds: int = 10,
+    cv_repeats: int = 3,
+    metric: str | None = None,
+    tune_length: int = 80,
+    tune_stop: int = 10,
+    tune_time_min: float = 2.0,
+    pct_loss: float = 0.0,
+    cor_level: float = 1.0,
+    vif_threshold: float = 0.0,
+    seed: int = 42,
+    num_trees: int = 100,
+) -> DietMLResult:
+    """End-to-end dietML run (reference cmd/diet_ml.R:23-85 ->
+    lib/diet_ml_funcs.R:16-111): split -> collinearity -> recipe -> CV grid
+    tune -> pct-loss select -> null model -> last_fit -> merged metric table.
+    """
+    metric = metric or ("bal_accuracy" if feature_type == "factor" else "rmse")
+    feature_cols = [c for c in df.columns if c not in (id_col, label_col)]
+
+    split = stratified_split(
+        df, label_col, id_col, train_frac, seed, feature_type
+    ).persist()
+    train = split.filter("is_train").drop("is_train")
+    test = split.filter("NOT is_train").drop("is_train")
+
+    kept, audit = reduce_collinearity(train, feature_cols, vif_threshold, cor_level)
+    standardize = model in ("ridge", "lasso", "enet", "svm")
+    recipe = fit_recipe(train, kept, standardize, cor_level)
+
+    classes = None
+    if feature_type == "factor":
+        classes = sorted(
+            str(r[label_col]) for r in train.select(label_col).distinct().collect()
+        )
+
+    def prep(d: DataFrame) -> DataFrame:
+        return _assemble(
+            _prep_label(recipe.transform(d), label_col, feature_type, classes),
+            recipe.keep_cols,
+        )
+
+    train_p = prep(train).persist()
+    train_p.count()
+    test_p = prep(test)
+
+    fold_df = fold_assignments(
+        train, label_col, id_col, folds, cv_repeats, seed, feature_type
+    )
+    train_cv = train_p.join(fold_df, id_col).persist()
+    train_cv.count()
+
+    # -- grid tune (M7) with tune_stop / tune_time early stopping -----------
+    candidates = _grid(model, tune_length, seed)
+    maximize = metric in MAXIMIZE
+    rows = []
+    best_score, since_best = None, 0
+    t0 = time.time()
+    for ci, params in enumerate(candidates):
+        if model == "rf":
+            params = {**params, "num_trees": num_trees}
+        scores = []
+        for r in range(cv_repeats):
+            for f in range(folds):
+                # one (id, fold) row per repeat: restrict to THIS repeat's
+                # dealing, then hold out fold f
+                tr = train_cv.filter((F.col("repeat") == r) & (F.col("fold") != f))
+                va = train_cv.filter((F.col("repeat") == r) & (F.col("fold") == f))
+                est = _estimator(model, feature_type, params, seed + 31 * ci + r)
+                fitted = est.fit(tr)
+                pred = _predict_frame(fitted, va, label_col, feature_type, classes)
+                scores.append(_score(pred, feature_type, classes)[metric])
+        mean_metric = float(np.nanmean(scores))
+        rows.append({"params": params, "mean_metric": mean_metric})
+        better = (
+            best_score is None
+            or (mean_metric > best_score if maximize else mean_metric < best_score)
+        )
+        if better:
+            best_score, since_best = mean_metric, 0
+        else:
+            since_best += 1
+        if since_best >= tune_stop or (time.time() - t0) > tune_time_min * 60:
+            break
+    cv_results = pd.DataFrame(rows)
+    best_params = select_by_pct_loss(cv_results, metric, pct_loss, model)
+
+    # -- null model (M9) ------------------------------------------------------
+    null_m = null_model_metrics(train, test, label_col, feature_type)
+
+    # -- last_fit (M10): best params on full train, scored on test ------------
+    final = _estimator(model, feature_type, best_params, seed).fit(train_p)
+    test_pred = _predict_frame(final, test_p, label_col, feature_type, classes)
+    final_m = _score(test_pred, feature_type, classes)
+    train_pred = _predict_frame(final, train_p, label_col, feature_type, classes)
+    train_m = _score(train_pred, feature_type, classes)
+
+    # J7: outer merge final vs null on metric name
+    names = sorted(set(final_m) | set(null_m))
+    full_results = pd.DataFrame(
+        {
+            ".metric": names,
+            "estimate": [final_m.get(n, float("nan")) for n in names],
+            "null_model_avg": [null_m.get(n, float("nan")) for n in names],
+        }
+    )
+    split.unpersist()
+    train_p.unpersist()
+    train_cv.unpersist()
+    return DietMLResult(
+        model=model,
+        metric=metric,
+        best_params=best_params,
+        cv_results=cv_results,
+        full_results=full_results,
+        train_metrics=train_m,
+        collinearity_audit=audit,
+        recipe=recipe,
+    )
+
+
+def append_results_csv(result: DietMLResult, path: str, seed: int, program: str) -> None:
+    """S8: ml_results.csv-style append sink (reference lib/diet_ml_funcs
+    .R:987-1013). Plain local append — the frame is metric-count-sized."""
+    import os
+
+    df = result.full_results.copy()
+    df["seed"] = seed
+    df["program"] = program
+    df["model"] = result.model
+    header = not os.path.exists(path)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    df.to_csv(path, mode="a", header=header, index=False)
+
+
+def summarized_levels(
+    resolved: DataFrame,
+    state: pd.DataFrame,
+    metadata: DataFrame,
+    levels: list[int] | None = None,
+    **dietml_kwargs,
+) -> dict[int, DietMLResult]:
+    """M12: run dietML once per tree depth on that depth's filter-passing
+    features (reference method_levels, lib/methods.R:144-181)."""
+    from taxahfe_spark.naming import clean_entity_expr, clean_name
+
+    passed = state[state["passed_filters"]]
+    lvls = levels or sorted(passed["level"].unique())
+    out: dict[int, DietMLResult] = {}
+    for lvl in lvls:
+        paths = passed[passed["level"] == lvl]["path"].tolist()
+        if not paths:
+            continue
+        mat = (
+            resolved.filter(F.col("level") == int(lvl))
+            .filter(F.col("path").isin(paths))
+            .groupBy(F.col("entity_id").alias("subject_id"))
+            .pivot("path", paths)
+            .agg(F.first("value"))
+            .na.fill(0.0, subset=paths)
+            .withColumnsRenamed({p: clean_name(p) for p in paths})
+        )
+        meta = metadata.withColumn("subject_id", clean_entity_expr("subject_id"))
+        df = mat.join(F.broadcast(meta), "subject_id", "inner")
+        out[int(lvl)] = run_dietml(df, **dietml_kwargs)
+    return out

@@ -1,0 +1,149 @@
+"""Model metric sets with yardstick-parity formulas, as Spark aggregations.
+
+The reference evaluates every model (and the null baseline) with fixed metric
+sets (reference lib/diet_ml_funcs.R:960-970): classification
+``bal_accuracy, roc_auc, accuracy, kap, f_meas``; regression
+``mae, rmse, rsq, ccc``. Spark's evaluators cover accuracy/rmse/mae/auc but
+not kappa, concordance correlation, balanced accuracy, or macro F — those are
+small closed-form functions of the confusion matrix / second moments, so they
+are computed here from ONE groupBy (classification) or ONE agg (regression);
+no per-row Python, no driver data movement beyond class-count-sized frames.
+
+Formula parity notes (yardstick):
+- bal_accuracy: mean over classes of (recall_c + specificity_c) / 2
+  (binary == (sens + spec) / 2).
+- kap: (p_o - p_e) / (1 - p_e), p_e from row x column marginals.
+- f_meas: macro-averaged F1 (binary reduces to the event-class F1 when both
+  classes are present; yardstick's event_level="first" differs only when a
+  class is entirely absent from truth AND estimate).
+- rsq: squared Pearson correlation of (truth, estimate).
+- ccc (bias = FALSE, the yardstick default): 2*cov_samp /
+  (var_samp_t + var_samp_e + (mean_t - mean_e)^2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def confusion_matrix(
+    pred: DataFrame, truth_col: str = "truth", estimate_col: str = "estimate"
+) -> tuple[np.ndarray, list[str]]:
+    """(K x K count matrix, sorted class labels) from one groupBy job.
+
+    Classes = union of truth and estimate values, so the matrix is square
+    even when a model never predicts some class.
+    """
+    rows = (
+        pred.groupBy(truth_col, estimate_col).count().collect()
+    )  # <= K^2 rows — class-count-sized, never data-sized
+    classes = sorted(
+        {str(r[truth_col]) for r in rows} | {str(r[estimate_col]) for r in rows}
+    )
+    idx = {c: i for i, c in enumerate(classes)}
+    m = np.zeros((len(classes), len(classes)))
+    for r in rows:
+        m[idx[str(r[truth_col])], idx[str(r[estimate_col])]] += r["count"]
+    return m, classes
+
+
+def classification_metrics_from_cm(m: np.ndarray) -> dict[str, float]:
+    """accuracy / bal_accuracy / kap / f_meas from a confusion matrix
+    (rows = truth, cols = estimate)."""
+    n = m.sum()
+    if n == 0:
+        return {k: float("nan") for k in ("accuracy", "bal_accuracy", "kap", "f_meas")}
+    diag = np.diag(m)
+    row = m.sum(axis=1)  # truth marginals
+    col = m.sum(axis=0)  # estimate marginals
+    accuracy = diag.sum() / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        recall = np.where(row > 0, diag / row, np.nan)
+        # specificity_c = TN / (TN + FP)
+        tn = n - row - col + diag
+        fp = col - diag
+        spec = np.where((tn + fp) > 0, tn / (tn + fp), np.nan)
+        precision = np.where(col > 0, diag / col, np.nan)
+        f1 = np.where(
+            (precision + recall) > 0, 2 * precision * recall / (precision + recall), 0.0
+        )
+    bal_accuracy = float(np.nanmean((recall + spec) / 2))
+    p_e = float((row * col).sum() / (n * n))
+    kap = float((accuracy - p_e) / (1 - p_e)) if p_e < 1 else 0.0
+    f_meas = float(np.nanmean(f1))
+    return {
+        "accuracy": float(accuracy),
+        "bal_accuracy": bal_accuracy,
+        "kap": kap,
+        "f_meas": f_meas,
+    }
+
+
+def classification_metrics(
+    pred: DataFrame,
+    truth_col: str = "truth",
+    estimate_col: str = "estimate",
+    prob_col: str | None = None,
+    event_class: str | None = None,
+) -> dict[str, float]:
+    """Reference classification metric set. ``prob_col`` (P(event)) enables
+    roc_auc for binary problems (multiclass AUC is out of the metric set's
+    scope here and reported as NaN)."""
+    m, classes = confusion_matrix(pred, truth_col, estimate_col)
+    out = classification_metrics_from_cm(m)
+    out["roc_auc"] = float("nan")
+    if prob_col is not None and len(classes) == 2:
+        event = event_class or classes[0]
+        # exact Mann-Whitney AUC via rank aggregation (one window + one agg)
+        from pyspark.sql import Window
+
+        ranked = pred.withColumn(
+            "__r", F.rank().over(Window.orderBy(F.col(prob_col)))
+        ).withColumn(
+            "__rr",
+            F.avg("__r").over(Window.partitionBy(prob_col)),
+        )
+        agg = ranked.agg(
+            F.sum(
+                F.when(F.col(truth_col) == event, F.col("__rr"))
+            ).alias("rpos"),
+            F.sum((F.col(truth_col) == event).cast("long")).alias("npos"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        npos, n = agg["npos"], agg["n"]
+        nneg = n - npos
+        if npos and nneg:
+            auc = (agg["rpos"] - npos * (npos + 1) / 2) / (npos * nneg)
+            out["roc_auc"] = float(auc)
+    return out
+
+
+def regression_metrics(
+    pred: DataFrame, truth_col: str = "truth", estimate_col: str = "estimate"
+) -> dict[str, float]:
+    """Reference regression metric set (mae, rmse, rsq, ccc) in ONE agg."""
+    t, e = F.col(truth_col).cast("double"), F.col(estimate_col).cast("double")
+    # r derived from the moments rather than F.corr: under ANSI mode corr
+    # raises DIVIDE_BY_ZERO on constant columns (e.g. the null model's
+    # constant estimate), where NaN is the correct metric value
+    r = pred.agg(
+        F.avg(F.abs(t - e)).alias("mae"),
+        F.sqrt(F.avg(F.pow(t - e, 2))).alias("rmse"),
+        F.covar_samp(t, e).alias("cov"),
+        F.var_samp(t).alias("vt"),
+        F.var_samp(e).alias("ve"),
+        F.avg(t).alias("mt"),
+        F.avg(e).alias("me"),
+    ).first()
+    vprod = (r["vt"] or 0.0) * (r["ve"] or 0.0)
+    rsq = float((r["cov"] ** 2) / vprod) if vprod > 0 else float("nan")
+    denom = (r["vt"] or 0.0) + (r["ve"] or 0.0) + (r["mt"] - r["me"]) ** 2
+    ccc = float(2 * (r["cov"] or 0.0) / denom) if denom else float("nan")
+    return {
+        "mae": float(r["mae"]),
+        "rmse": float(r["rmse"]),
+        "rsq": rsq,
+        "ccc": ccc,
+    }

@@ -1,0 +1,274 @@
+"""dietML surface tests (SURVEY §2.11 M1-M13).
+
+Metric formulas are checked against hand-computed yardstick-parity values;
+the end-to-end runs use the reference's own bike_share fixture (regression)
+and a synthetic separable classification task, asserting the fitted model
+beats the null baseline — the reference's own acceptance shape
+(ml_results.csv compares final vs null, lib/diet_ml_funcs.R:980).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from taxahfe_spark.dietml import (
+    fit_recipe,
+    fold_assignments,
+    null_model_metrics,
+    reduce_collinearity,
+    run_dietml,
+    select_by_pct_loss,
+    stratified_split,
+    summarized_levels,
+)
+from taxahfe_spark.functions.metrics import (
+    classification_metrics,
+    classification_metrics_from_cm,
+    regression_metrics,
+)
+
+BIKE = "/root/reference/example_inputs/bike_share_day.csv"
+
+
+# -- metric formulas (M10) ----------------------------------------------------
+
+
+def test_classification_metrics_hand_computed():
+    # confusion matrix rows=truth, cols=estimate:
+    #        pred a  pred b
+    # true a   50      10
+    # true b    5      35
+    m = np.array([[50.0, 10.0], [5.0, 35.0]])
+    out = classification_metrics_from_cm(m)
+    n = 100
+    acc = 85 / n
+    # sens_a = 50/60, spec_a = 35/40; sens_b = 35/40, spec_b = 50/60
+    bal = ((50 / 60 + 35 / 40) / 2 + (35 / 40 + 50 / 60) / 2) / 2
+    pe = (60 * 55 + 40 * 45) / (n * n)
+    kap = (acc - pe) / (1 - pe)
+    f1a = 2 * (50 / 55) * (50 / 60) / (50 / 55 + 50 / 60)
+    f1b = 2 * (35 / 45) * (35 / 40) / (35 / 45 + 35 / 40)
+    assert out["accuracy"] == pytest.approx(acc)
+    assert out["bal_accuracy"] == pytest.approx(bal)
+    assert out["kap"] == pytest.approx(kap)
+    assert out["f_meas"] == pytest.approx((f1a + f1b) / 2)
+
+
+def test_regression_metrics_hand_computed(spark):
+    t = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    e = np.array([1.5, 2.2, 2.4, 4.4, 4.6])
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(t, e)], "truth double, estimate double"
+    )
+    out = regression_metrics(df)
+    assert out["mae"] == pytest.approx(np.abs(t - e).mean())
+    assert out["rmse"] == pytest.approx(np.sqrt(((t - e) ** 2).mean()))
+    assert out["rsq"] == pytest.approx(np.corrcoef(t, e)[0, 1] ** 2)
+    ccc = 2 * np.cov(t, e, ddof=1)[0, 1] / (
+        t.var(ddof=1) + e.var(ddof=1) + (t.mean() - e.mean()) ** 2
+    )
+    assert out["ccc"] == pytest.approx(ccc)
+
+
+def test_binary_auc_mann_whitney(spark):
+    from pyspark.sql import functions as F
+
+    # probs: positives (a) at .9/.8/.4, negatives at .7/.3/.2
+    rows = [("a", .9), ("a", .8), ("a", .4), ("b", .7), ("b", .3), ("b", .2)]
+    df = spark.createDataFrame(rows, "truth string, prob double").withColumn(
+        "estimate", F.lit("a")
+    )
+    out = classification_metrics(df, prob_col="prob", event_class="a")
+    # pairs: 9 total, positive-ranked-higher: (.9,.8 beat all 3)=6, .4 beats .3,.2 = 2 -> 8/9
+    assert out["roc_auc"] == pytest.approx(8 / 9)
+
+
+# -- split / folds (M2-M4) ----------------------------------------------------
+
+
+def test_stratified_split_proportions_and_determinism(spark):
+    rows = [(f"s{i}", "a" if i % 3 else "b") for i in range(90)]
+    df = spark.createDataFrame(rows, "subject_id string, feature_of_interest string")
+    s1 = stratified_split(df, seed=5).toPandas().sort_values("subject_id")
+    s2 = stratified_split(df, seed=5).toPandas().sort_values("subject_id")
+    pd.testing.assert_frame_equal(s1.reset_index(drop=True), s2.reset_index(drop=True))
+    g = s1.groupby("feature_of_interest")["is_train"].mean()
+    assert (g == 0.8).all()  # exact ceil(0.8n)/n at n divisible by 5
+
+
+def test_fold_assignments_stratified_balanced(spark):
+    rows = [(f"s{i}", "a" if i % 2 else "b") for i in range(60)]
+    df = spark.createDataFrame(rows, "subject_id string, feature_of_interest string")
+    f = fold_assignments(df, folds=5, repeats=2, seed=3).toPandas()
+    assert set(f["repeat"]) == {0, 1}
+    # every (repeat, fold) gets 12 ids, 6 per class
+    sizes = f.groupby(["repeat", "fold"]).size()
+    assert (sizes == 12).all()
+
+
+def test_numeric_label_split_stratifies_quartiles(spark):
+    rows = [(f"s{i}", float(i)) for i in range(80)]
+    df = spark.createDataFrame(rows, "subject_id string, feature_of_interest double")
+    s = stratified_split(df, feature_type="numeric", seed=1).toPandas()
+    s["bin"] = pd.cut(s["feature_of_interest"], 4, labels=False)
+    assert (s.groupby("bin")["is_train"].mean() == 0.8).all()
+
+
+# -- recipe (M5) / collinearity (M6) -------------------------------------------
+
+
+def test_recipe_dummies_zv_corr_scale(spark):
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, 50)
+    rows = [
+        (f"s{i}", float(x[i]), float(x[i] * 2 + 1e-9 * i), 5.0,
+         "red" if i % 2 else "blue")
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "subject_id string, f1 double, f2 double, konst double, col string"
+    )
+    rec = fit_recipe(df, ["f1", "f2", "konst", "col"], standardize=True, cor_level=0.9)
+    assert "konst" in rec.dropped_zv
+    # step_corr on |r|: one of the duplicated numeric pair AND one of the
+    # complementary (r = -1) dummy pair get dropped
+    assert len({"f1", "f2"} & set(rec.dropped_corr)) == 1
+    assert len({"col_blue", "col_red"} & set(rec.dropped_corr)) == 1
+    out = rec.transform(df).toPandas()
+    kept_num = [c for c in ("f1", "f2") if c in rec.keep_cols]
+    assert abs(out[kept_num[0]].mean()) < 1e-9  # centered
+    assert out[kept_num[0]].std(ddof=1) == pytest.approx(1.0)
+    kept_dummy = ({"col_blue", "col_red"} & set(rec.keep_cols)).pop()
+    assert kept_dummy in out.columns
+    # unseen level encodes to all-zeros (step_novel semantics)
+    df2 = spark.createDataFrame(
+        [("t0", 1.0, 2.0, 5.0, "green")],
+        "subject_id string, f1 double, f2 double, konst double, col string",
+    )
+    o2 = rec.transform(df2).toPandas()
+    assert o2[kept_dummy].iloc[0] == 0.0
+
+
+def test_reduce_collinearity_vif(spark):
+    rng = np.random.default_rng(1)
+    a = rng.normal(0, 1, 200)
+    b = rng.normal(0, 1, 200)
+    c = a + b + rng.normal(0, 0.01, 200)  # near-exact linear combo -> huge VIF
+    rows = [(f"s{i}", float(a[i]), float(b[i]), float(c[i])) for i in range(200)]
+    df = spark.createDataFrame(rows, "subject_id string, a double, b double, c double")
+    kept, audit = reduce_collinearity(df, ["a", "b", "c"], vif_threshold=5.0)
+    assert len(kept) == 2 and len(audit) == 1
+    assert audit.iloc[0]["reason"].startswith("vif=")
+
+
+def test_select_by_pct_loss_prefers_simpler():
+    res = pd.DataFrame(
+        {
+            "params": [{"penalty": 0.001}, {"penalty": 0.1}, {"penalty": 1.0}],
+            "mean_metric": [0.90, 0.89, 0.70],
+        }
+    )
+    assert select_by_pct_loss(res, "bal_accuracy", 0.0, "ridge")["penalty"] == 0.001
+    # within 5% of 0.90 -> 0.89 qualifies; prefer LARGER penalty (simpler)
+    assert select_by_pct_loss(res, "bal_accuracy", 5.0, "ridge")["penalty"] == 0.1
+
+
+# -- null model (M9) -----------------------------------------------------------
+
+
+def test_null_model_majority_class(spark):
+    tr = spark.createDataFrame(
+        [("a",)] * 7 + [("b",)] * 3, "feature_of_interest string"
+    )
+    te = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 5, "feature_of_interest string"
+    )
+    m = null_model_metrics(tr, te, "feature_of_interest", "factor")
+    assert m["accuracy"] == pytest.approx(0.5)
+    assert m["bal_accuracy"] == pytest.approx(0.5)
+    assert set(m) == {"bal_accuracy", "f_meas", "accuracy"}
+
+
+# -- end-to-end (M1/M7/M10) ----------------------------------------------------
+
+
+def test_dietml_regression_bike_share(spark):
+    """Reference fixture e2e (dietml.md runs ridge on bike_share_day)."""
+    df = (
+        spark.read.option("header", True).option("inferSchema", True).csv(BIKE)
+        .withColumnRenamed("instant", "subject_id")
+        .withColumnRenamed("cnt", "feature_of_interest")
+    )
+    res = run_dietml(
+        df,
+        feature_type="numeric",
+        model="ridge",
+        folds=3,
+        cv_repeats=1,
+        tune_length=3,
+        metric="rmse",
+        seed=1234,
+    )
+    fr = res.full_results.set_index(".metric")
+    assert {"mae", "rmse", "rsq", "ccc"} <= set(fr.index)
+    # the model must beat the mean-predictor null baseline
+    assert fr.loc["rmse", "estimate"] < fr.loc["rmse", "null_model_avg"]
+    assert fr.loc["mae", "estimate"] < fr.loc["mae", "null_model_avg"]
+    assert fr.loc["rsq", "estimate"] > 0.8  # casual+registered == cnt: easy
+
+
+def test_dietml_classification_rf(spark):
+    rng = np.random.default_rng(4)
+    rows = []
+    for i in range(120):
+        lab = "pos" if i % 2 else "neg"
+        sig = (3.0 if lab == "pos" else 0.5) + rng.normal(0, 0.3)
+        rows.append((f"s{i}", float(sig), float(rng.normal(0, 1)), lab))
+    df = spark.createDataFrame(
+        rows, "subject_id string, sig double, noise double, feature_of_interest string"
+    )
+    res = run_dietml(
+        df,
+        feature_type="factor",
+        model="rf",
+        folds=3,
+        cv_repeats=1,
+        tune_length=2,
+        num_trees=20,
+        seed=7,
+    )
+    fr = res.full_results.set_index(".metric")
+    assert fr.loc["accuracy", "estimate"] > 0.9
+    assert fr.loc["accuracy", "estimate"] > fr.loc["accuracy", "null_model_avg"]
+    assert fr.loc["kap", "estimate"] > 0.8
+    assert not np.isnan(fr.loc["roc_auc", "estimate"])
+
+
+def test_summarized_levels_mode(spark):
+    """M12: one dietML run per tree depth over that depth's features."""
+    from taxahfe_spark.operators.filters import feature_filter_flags
+    from taxahfe_spark.taxonomy import hierarchical_rollup
+
+    rng = np.random.default_rng(2)
+    rows, meta_rows = [], []
+    for i in range(60):
+        lab = "hi" if i % 2 else "lo"
+        meta_rows.append((f"s{i}", lab))
+        base = 4.0 if lab == "hi" else 1.0
+        rows.append(("k__a|p__x", f"s{i}", float(base + rng.normal(0, 0.2))))
+        rows.append(("k__a|p__y", f"s{i}", float(rng.normal(2, 0.5))))
+    long = spark.createDataFrame(rows, "clade_name string, entity_id string, value double")
+    meta = spark.createDataFrame(meta_rows, "subject_id string, feature_of_interest string")
+    resolved = hierarchical_rollup(long)
+    flags = feature_filter_flags(resolved, 60, 0.01, 0.0)
+    state = flags.select("path", "level", "passed_filters").toPandas()
+    out = summarized_levels(
+        resolved, state, meta,
+        feature_type="factor", model="rf", folds=2, cv_repeats=1,
+        tune_length=1, num_trees=10, seed=3,
+    )
+    assert set(out) == {1, 2}
+    for lvl, res in out.items():
+        assert "accuracy" in set(res.full_results[".metric"])
