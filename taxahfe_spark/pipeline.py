@@ -56,21 +56,56 @@ def read_hierarchical_data(
 
 
 def prepare_label_covariates(
-    metadata_pdf: pd.DataFrame, feature_type: str
+    metadata_pdf: pd.DataFrame, feature_type: str, random_effects: bool = False
 ) -> tuple[np.ndarray, np.ndarray | None, list[str]]:
-    """Label vector + one-hot covariate matrix aligned to metadata row order."""
+    """Label vector + one-hot covariate matrix aligned to metadata row order.
+    Under random effects the reserved ``individual``/``time`` columns are
+    structural, not covariates (reference lib/tree.R:116-122)."""
     label = metadata_pdf["feature_of_interest"].to_numpy()
     if feature_type == "numeric":
         label = label.astype(np.float64)
-    cov_cols = [
-        c for c in metadata_pdf.columns if c not in ("subject_id", "feature_of_interest")
-    ]
+    reserved = {"subject_id", "feature_of_interest"}
+    if random_effects:
+        reserved |= {"individual", "time"}
+    cov_cols = [c for c in metadata_pdf.columns if c not in reserved]
     cov = None
     if cov_cols:
         cov = pd.get_dummies(metadata_pdf[cov_cols], dummy_na=False).to_numpy(
             dtype=np.float64
         )
     return label, cov, cov_cols
+
+
+def discretize_label(
+    metadata_pdf: pd.DataFrame, k: int = 3, seed: int = 42, max_iter: int = 50
+) -> pd.DataFrame:
+    """KMeans label binning (reference lib/tree.R:125-131, G10): a numeric
+    response becomes 'feature_of_interest_{i}' factor levels, with cluster
+    ids REINDEXED BY SORTED CENTER MEAN so level 1 is always the smallest-
+    center cluster (the reference's determinism trick). 1-D k-means on the
+    driver — the label vector is metadata-sized.
+    """
+    y = metadata_pdf["feature_of_interest"].to_numpy(dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    # k-means++ style deterministic init on quantiles (stable for 1-D data)
+    centers = np.quantile(y, np.linspace(0, 1, k + 2)[1:-1])
+    centers = centers + rng.normal(0, 1e-9, k)  # break exact ties
+    for _ in range(max_iter):
+        assign = np.argmin(np.abs(y[:, None] - centers[None, :]), axis=1)
+        new = np.array(
+            [y[assign == j].mean() if (assign == j).any() else centers[j] for j in range(k)]
+        )
+        if np.allclose(new, centers):
+            break
+        centers = new
+    order = np.argsort(centers)
+    relabel = np.empty(k, dtype=np.int64)
+    relabel[order] = np.arange(1, k + 1)
+    out = metadata_pdf.copy()
+    out["feature_of_interest"] = [
+        f"feature_of_interest_{relabel[a]}" for a in assign
+    ]
+    return out
 
 
 def taxa_hfe(
@@ -138,9 +173,35 @@ def taxa_hfe(
     flags_pdf = flags.select("path", "level", "passed_filters").toPandas()
 
     vectors = to_feature_vectors(resolved, entity_ids)
-    label, cov, _ = prepare_label_covariates(meta_pdf, params.feature_type)
 
-    comp = TreeCompetition(vectors, flags_pdf, label, cov, params)
+    re_individual = re_time = None
+    if params.random_effects:
+        # reference lib/tree.R:116-131: individual/time required; a numeric
+        # response is kmeans-discretized into k factor levels first
+        missing = {"individual", "time"} - set(meta_pdf.columns)
+        if missing:
+            raise ValueError(
+                f"random_effects requires metadata columns {sorted(missing)} "
+                "(reference lib/tree.R:116-119)"
+            )
+        if params.feature_type == "numeric":
+            meta_pdf = discretize_label(meta_pdf, seed=params.seed)
+            params = replace(params, feature_type="factor")
+        # np.unique codes sort by value -> the RE design-matrix row order is
+        # a pure function of the data, not of metadata row order
+        re_individual = np.unique(
+            meta_pdf["individual"].astype(str).to_numpy(), return_inverse=True
+        )[1].astype(np.int64)
+        re_time = meta_pdf["time"].to_numpy(dtype=np.float64)
+
+    label, cov, _ = prepare_label_covariates(
+        meta_pdf, params.feature_type, params.random_effects
+    )
+
+    comp = TreeCompetition(
+        vectors, flags_pdf, label, cov, params,
+        re_individual=re_individual, re_time=re_time,
+    )
     state = comp.run()
     return resolved, state
 
