@@ -535,6 +535,7 @@ class DietMLResult:
     train_metrics: dict[str, float]
     collinearity_audit: pd.DataFrame
     recipe: Recipe
+    shap_ranking: pd.DataFrame | None = None  # M11/W3 mean-|SHAP| table
 
 
 def run_dietml(
@@ -555,17 +556,30 @@ def run_dietml(
     vif_threshold: float = 0.0,
     seed: int = 42,
     num_trees: int = 100,
+    split_col: str | None = None,
+    shap: bool = False,
+    shap_top_k: int = 10,
 ) -> DietMLResult:
     """End-to-end dietML run (reference cmd/diet_ml.R:23-85 ->
     lib/diet_ml_funcs.R:16-111): split -> collinearity -> recipe -> CV grid
     tune -> pct-loss select -> null model -> last_fit -> merged metric table.
+
+    ``split_col``: name of a precomputed boolean train indicator — the
+    reference's create_data_split_obj path (lib/diet_ml_funcs.R:664-674),
+    used by taxa_hfe_ml so dietML honors the SAME leakage-aware split the
+    tree competition saw rather than re-splitting.
     """
     metric = metric or ("bal_accuracy" if feature_type == "factor" else "rmse")
-    feature_cols = [c for c in df.columns if c not in (id_col, label_col)]
+    feature_cols = [
+        c for c in df.columns if c not in (id_col, label_col, split_col)
+    ]
 
-    split = stratified_split(
-        df, label_col, id_col, train_frac, seed, feature_type
-    ).persist()
+    if split_col is not None:
+        split = df.withColumnRenamed(split_col, "is_train").persist()
+    else:
+        split = stratified_split(
+            df, label_col, id_col, train_frac, seed, feature_type
+        ).persist()
     train = split.filter("is_train").drop("is_train")
     test = split.filter("NOT is_train").drop("is_train")
 
@@ -649,6 +663,15 @@ def run_dietml(
             "null_model_avg": [null_m.get(n, float("nan")) for n in names],
         }
     )
+
+    shap_ranking = None
+    if shap:
+        from taxahfe_spark.functions.shap import shap_mean_abs
+
+        shap_ranking = shap_mean_abs(
+            final, train_p, recipe.keep_cols, seed=seed, top_k=shap_top_k
+        ).toPandas()
+
     split.unpersist()
     train_p.unpersist()
     train_cv.unpersist()
@@ -661,6 +684,7 @@ def run_dietml(
         train_metrics=train_m,
         collinearity_audit=audit,
         recipe=recipe,
+        shap_ranking=shap_ranking,
     )
 
 

@@ -215,29 +215,37 @@ def _rank_avg(v: np.ndarray) -> np.ndarray:
     return pd.Series(v).rank(method="average").to_numpy()
 
 
-def chunk_importance(
+def make_importance_runner(
     Xf: np.ndarray,
     label: np.ndarray,
     cov: np.ndarray | None,
     re_individual: np.ndarray | None,
     re_time: np.ndarray | None,
     params: "CompetitionParams",
-    seed: int,
-) -> np.ndarray:
-    """One permutation-fit's importance for the feature columns of Xf.
+):
+    """Per-competition importance closure: design matrices AND quantile bin
+    codes are computed ONCE, then each chunk's fit reuses them (binning is a
+    large share of a small-forest fit; results are bit-identical).
 
     Non-RE: one corrected-impurity forest on [features | covariates]
     (reference lib/tree.R:799-803). RE: two forests on the per-(individual,
     label) mean and slope designs, rank-averaged (lib/tree.R:776-793).
     """
+    from taxahfe_spark.functions.rf import _bin_features
+
     classification = params.feature_type == "factor"
     p = Xf.shape[1]
     if not params.random_effects:
         X = Xf if cov is None or not cov.size else np.column_stack([Xf, cov])
-        return forest_importance(
-            X, label, classification=classification,
-            num_trees=params.num_trees, seed=seed,
-        )[:p]
+        codes = _bin_features(X)
+
+        def run(seed: int) -> np.ndarray:
+            return forest_importance(
+                X, label, classification=classification,
+                num_trees=params.num_trees, seed=seed, codes=codes,
+            )[:p]
+
+        return run
 
     # repeated measures: pseudo-sample = (individual, label) pair
     _, lab_codes = np.unique(label.astype(str), return_inverse=True)
@@ -256,16 +264,38 @@ def chunk_importance(
         slopes if cov is None or not cov.size
         else np.column_stack([slopes, X_mean[:, p:]])
     )
-    imp_a = forest_importance(
-        X_mean, y_group, classification=classification,
-        num_trees=params.num_trees, seed=seed,
-    )
-    imp_s = forest_importance(
-        X_slope, y_group, classification=classification,
-        num_trees=params.num_trees, seed=seed + 1,
-    )
-    # rank within each fit (over features AND covariates), average the ranks
-    return ((_rank_avg(imp_a) + _rank_avg(imp_s)) / 2.0)[:p]
+    codes_mean = _bin_features(X_mean)
+    codes_slope = _bin_features(X_slope)
+
+    def run_re(seed: int) -> np.ndarray:
+        imp_a = forest_importance(
+            X_mean, y_group, classification=classification,
+            num_trees=params.num_trees, seed=seed, codes=codes_mean,
+        )
+        imp_s = forest_importance(
+            X_slope, y_group, classification=classification,
+            num_trees=params.num_trees, seed=seed + 1, codes=codes_slope,
+        )
+        # rank within each fit (over features AND covariates), avg the ranks
+        return ((_rank_avg(imp_a) + _rank_avg(imp_s)) / 2.0)[:p]
+
+    return run_re
+
+
+def chunk_importance(
+    Xf: np.ndarray,
+    label: np.ndarray,
+    cov: np.ndarray | None,
+    re_individual: np.ndarray | None,
+    re_time: np.ndarray | None,
+    params: "CompetitionParams",
+    seed: int,
+) -> np.ndarray:
+    """One permutation-fit's importance (single-shot wrapper around
+    make_importance_runner)."""
+    return make_importance_runner(
+        Xf, label, cov, re_individual, re_time, params
+    )(seed)
 
 
 def _run_group(
@@ -310,11 +340,11 @@ def _run_group(
         competitors = [parent_path] + keep
     Xf = np.column_stack([dense[n] for n in competitors])
     parent_key = parent_path if parent_path is not None else "__final__"
+    run_fit = make_importance_runner(
+        Xf, label, cov, re_individual, re_time, params
+    )
     for chunk in range(chunk_lo, chunk_hi):
-        seed = group_seed(params.seed, parent_key) + 7919 * chunk
-        imp = chunk_importance(
-            Xf, label, cov, re_individual, re_time, params, seed
-        )
+        imp = run_fit(group_seed(params.seed, parent_key) + 7919 * chunk)
         out_paths.extend(competitors)
         out_corr.extend([None] * len(competitors))
         out_imp.extend(float(v) for v in imp)

@@ -70,7 +70,13 @@ def minhash_signatures(
     and the k lanes derive from the 8-byte value.
     """
     norm = normalize_text(text_col)
-    base = df.select(id_col, norm.alias("__norm"))
+    # respread the NARROW doc frame before the ~1000x shingle explode: a
+    # one-partition input would otherwise hash every shingle single-threaded.
+    # (Repartitioning the exploded rows instead shuffles the full shingle
+    # stream — measured 4x slower; map-side combine makes the post-agg
+    # exchange tiny, so spreading the cheap side is strictly better.)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(id_col, norm.alias("__norm")).repartition(par * 2)
     ex = base.select(
         id_col,
         "__norm",
@@ -86,10 +92,6 @@ def minhash_signatures(
             F.substr("__norm", F.col("__pos"), F.lit(shingle_k)), F.lit(seed)
         ).alias("h0"),
     )
-    # explode inflates rows ~1000x: a narrow input (one parquet partition)
-    # would aggregate 64 lanes single-threaded without this spread
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sh = sh.repartition(par, id_col)
     mins = sh.groupBy(id_col).agg(
         *[
             F.min(F.xxhash64(F.col("h0"), F.lit(i))).alias(f"h{i}")

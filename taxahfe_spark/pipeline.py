@@ -44,15 +44,43 @@ def read_metadata(
 
 
 def read_hierarchical_data(
-    spark: SparkSession, path: str, sep: str | None = None
+    spark: SparkSession, path: str, sep: str | None = None, validate_na: bool = False
 ) -> DataFrame:
     """Wide hierarchical matrix scan (reference lib/tree.R:143-200): drop
-    known-useless taxon-id columns at the scan."""
+    known-useless taxon-id columns at the scan.
+
+    ``validate_na=True`` enforces the reference's NA-fatal contract
+    (lib/tree.R:193-196: any NA in the hierarchical matrix stops the run —
+    silent NA ingestion would propagate nulls into every rollup sum). It
+    costs one scan-time validation pass; leave off for huge inputs you have
+    already validated upstream.
+    """
     if sep is None:
         sep = "\t" if path.endswith((".tsv", ".txt")) else ","
     df = spark.read.option("header", True).option("sep", sep).csv(path)
     drop = [c for c in ("NCBI_tax_id", "clade_taxid") if c in df.columns]
-    return df.drop(*drop)
+    df = df.drop(*drop)
+    if validate_na:
+        assert_no_na(df)
+    return df
+
+
+def assert_no_na(df: DataFrame) -> None:
+    """NA-fatal guard (reference lib/tree.R:193-196, P8): raise if ANY cell
+    is null/NaN. One aggregation pass; counts per column for the message."""
+    checks = []
+    for c, t in df.dtypes:
+        cond = F.col(c).isNull()
+        if t in ("double", "float"):
+            cond = cond | F.isnan(F.col(c))
+        checks.append(F.sum(cond.cast("long")).alias(c))
+    row = df.agg(*checks).first()
+    bad = {c: row[c] for c, _ in df.dtypes if row[c]}
+    if bad:
+        raise ValueError(
+            f"hierarchical data contains NA cells (fatal, reference "
+            f"lib/tree.R:193-196): {bad}"
+        )
 
 
 def prepare_label_covariates(
@@ -151,8 +179,8 @@ def taxa_hfe(
         "entity_id", clean_entity_expr("entity_id")
     ).join(F.broadcast(ids_df), "entity_id", "left_semi")
 
-    # the rollup eagerly checkpoints each level, so `resolved` is served from
-    # materialized blocks for every consumer below (no persist needed here)
+    # the rollup checkpoints its levels, so after the first action below
+    # `resolved` is served from stored blocks for every later consumer
     resolved = hierarchical_rollup(long)
 
     # the design universe is metadata INTERSECT data subjects (reference
@@ -164,6 +192,11 @@ def taxa_hfe(
         r["entity_id"]
         for r in resolved.select("entity_id").distinct().collect()
     }
+    # ^ that action materialized every level's lazy checkpoint; the rollup's
+    # scratch cache can go (ADVICE: repeated invocations must not accumulate)
+    scratch = getattr(resolved, "_taxahfe_scratch", None)
+    if scratch is not None:
+        scratch.unpersist()
     meta_pdf = meta_pdf[meta_pdf["subject_id"].isin(present)].reset_index(drop=True)
     entity_ids = meta_pdf["subject_id"].tolist()
 

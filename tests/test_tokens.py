@@ -99,3 +99,37 @@ def test_relative_abundance(spark, seqs):
     )
     for r in sums:
         assert r["s"] == pytest.approx(1.0)
+
+
+def test_build_vocab_prefix_partitioned_matches_global_sort(spark):
+    """Scale-safe vocab ids == global lexicographic enumeration, with no
+    single-partition global sort in the plan."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from taxahfe_spark.tokens import build_vocab
+
+    rng = random.Random(7)
+    wordset = {
+        "".join(rng.choice("abcdefghij0123456789") for _ in range(rng.randint(1, 8)))
+        for _ in range(30000)
+    }
+    words_list = sorted(wordset)
+    docs = spark.createDataFrame(
+        [(i, list(wordset)[i::64]) for i in range(64)],
+        "doc_id int, words array<string>",
+    )
+    # force the scale path (small_vocab=0) and check id identity + plan shape
+    vocab = build_vocab(docs, small_vocab=0)
+    got = {r["word"]: r["token_id"] for r in vocab.collect()}
+    expected = {w: i for i, w in enumerate(words_list)}
+    assert got == expected
+    # the plan must not contain a single-partition global sort window
+    plan = vocab._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # the small-vocab fast path produces the same ids
+    got_small = {
+        r["word"]: r["token_id"] for r in build_vocab(docs).collect()
+    }
+    assert got_small == expected
