@@ -586,6 +586,35 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_cosine_allpairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs embedding near-dup (the correctness baseline for
+    ann_self_pairs, which is LSH-bucketed and hash-randomized -> pytest)."""
+    from taxahfe_spark.operators.similarity import cosine_allpairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_allpairs(emb, threshold=0.4)
+    return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
+_COSINE_ALLPAIRS_ORACLE = """
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+d AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         round(
+           list_aggregate(list_transform(list_zip(x.embedding, y.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+           / nullif(
+               sqrt(list_aggregate(list_transform(x.embedding,
+                   e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), 'sum'))
+             * sqrt(list_aggregate(list_transform(y.embedding,
+                   e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), 'sum')), 0),
+           8) AS cosine
+  FROM v x JOIN v y ON x.vec_id < y.vec_id
+)
+SELECT a, b, round(cosine, 6) AS cosine FROM d WHERE cosine >= 0.4
+"""
+
+
 def q_pit_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time token rollup: docs become (doc, ts) events, the word
     taxonomy has two snapshot versions (prefix v1/v2) so leakage is
@@ -1110,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_docs": q_token_counts_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
+        "cosine_allpairs_embeddings": q_cosine_allpairs_embeddings,
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_docs": q_simhash_docs,
         "hfe_collapse": q_hfe_collapse,
@@ -1311,6 +1341,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts_docs": _TOKEN_COUNTS_ORACLE,
         "ngram_jaccard_docs": _NGRAM_JACCARD_ORACLE,
         "cosine_topk_embeddings": _COSINE_ORACLE,
+        "cosine_allpairs_embeddings": _COSINE_ALLPAIRS_ORACLE,
         "simhash_docs": _simhash_oracle(),
         "hfe_corr_collapse": _HFE_CORR_COLLAPSE_ORACLE,
         "ml_split_folds": _ML_SPLIT_ORACLE,

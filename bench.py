@@ -70,8 +70,14 @@ def _scaling_suite(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
     from taxahfe_spark.tokens import build_vocab, token_count_rollup, tokenize, words
 
     par = spark.sparkContext.defaultParallelism
+    # BENCH_SCALE_MULT multiplies every replication factor: at MULT>=4 the
+    # per-query work is tens of seconds and fixed job latency amortizes —
+    # the regime the north rule's eta>=0.8 criterion describes (the default
+    # sf0.1 suite is latency-floored at 1-2s/query on 32 cores).
+    mult = int(os.environ.get("BENCH_SCALE_MULT", "1"))
 
     def rep(df, n, id_cols):
+        n = n * mult
         out = df.withColumn("__k", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
         for c in id_cols:
             out = out.withColumn(c, F.col(c) * n + F.col("__k"))
@@ -139,6 +145,10 @@ def _scaling_suite(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
         "hfe_collapse_forests": lambda: _collapse(spark, sf_dir),
     }
     reps = int(os.environ.get("BENCH_REPS", "2"))
+    only = os.environ.get("BENCH_QUERIES")
+    if only:
+        keep = set(only.split(","))
+        queries = {k: v for k, v in queries.items() if k in keep}
     out: dict[str, tuple[float, int]] = {}
     for name, fn in queries.items():
         best, rows = None, 0

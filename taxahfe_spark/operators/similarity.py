@@ -153,3 +153,85 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "cosine", "rank")
     )
+
+
+def cosine_allpairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs cosine >= threshold over one corpus: (a, b, cosine),
+    a < b. The correctness baseline for embedding near-dup detection.
+
+    Quadratic by definition — self-join with the smaller projected side
+    broadcast when it fits, else a sort-merge cross partitioned by id. Use
+    ann_self_pairs for the bucketed scale path; this exact form is for
+    verification and modest corpora (<= ~10^5 vectors).
+    """
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("a") < F.col("b"))
+    scored = pairs.withColumn(
+        "cosine", F.round(cosine_similarity_col("va", "vb"), 8)
+    )
+    return scored.filter(F.col("cosine") >= threshold).select("a", "b", "cosine")
+
+
+def ann_self_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 10,
+    n_tables: int = 6,
+    seed: int = 42,
+    max_bucket_size: int | None = 2000,
+) -> DataFrame:
+    """Approximate all-pairs cosine >= threshold over one corpus — the
+    embedding-space analog of MinHash LSH dedup (the scale path for
+    embedding-cosine near-dup at web-corpus size).
+
+    Candidates share a random-hyperplane bucket in >= 1 of n_tables tables;
+    exact cosine rescoring keeps only true hits (precision 1, recall < 1 —
+    raised by more tables / fewer planes). ``max_bucket_size`` drops
+    degenerate buckets before the self-join: a bucket of m vectors yields
+    m^2/2 candidates, the same skew guard as minhash_lsh_pairs /
+    ngram max_df.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    for t in range(n_tables):
+        base = hyperplane_signature(
+            base, "vec", n_planes=n_planes, seed=seed + 131 * t, out_col=f"b{t}"
+        )
+    banded = base.select(
+        "id", "vec",
+        F.posexplode(F.array(*[f"b{t}" for t in range(n_tables)])).alias(
+            "table", "bucket"
+        ),
+    )
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("table", "bucket")
+            .count()
+            .filter(F.col("count") > max_bucket_size)
+            .select("table", "bucket")
+        )
+        banded = banded.join(F.broadcast(hot), ["table", "bucket"], "left_anti")
+    # distinct on bare id pairs first (8-byte keys), then rejoin vectors once
+    ids = (
+        banded.select(F.col("id").alias("a"), "table", "bucket")
+        .join(
+            banded.select(F.col("id").alias("b"), "table", "bucket"),
+            ["table", "bucket"],
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("a"), F.col("vec").alias("va"))
+    vb = base.select(F.col("id").alias("b"), F.col("vec").alias("vb"))
+    scored = ids.join(va, "a").join(vb, "b").withColumn(
+        "cosine", F.round(cosine_similarity_col("va", "vb"), 8)
+    )
+    return scored.filter(F.col("cosine") >= threshold).select("a", "b", "cosine")

@@ -50,7 +50,12 @@ def build_vocab(
     machinery's extra shuffle+join costs more than sorting a few thousand
     rows on one core (both branches produce identical ids).
     """
-    distinct = df_words.select(F.explode("words").alias("word")).distinct()
+    # the distinct-words shuffle feeds BOTH the prefix-count decision and the
+    # ranking (and, via tokenize, repeated broadcast rebuilds): cache it.
+    # Vocab-sized by definition — the one frame worth pinning.
+    distinct = (
+        df_words.select(F.explode("words").alias("word")).distinct().persist()
+    )
     pfx = F.substring("word", 1, prefix_len)
     counts = distinct.groupBy(pfx.alias("__p")).count().collect()
     total = sum(r["count"] for r in counts)

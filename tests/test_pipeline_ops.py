@@ -200,3 +200,33 @@ def test_multimodal_plumbing(spark):
     plan = frame_sample_plan(media, every_ms=5000)
     assert plan.count() > 0
     assert plan.filter("frame_ts_ms < 0").count() == 0
+
+
+def test_ann_self_pairs_recall_vs_exact(spark):
+    """ann_self_pairs (LSH-bucketed) must find planted near-duplicate pairs
+    with precision 1 (exact rescoring) and high recall vs cosine_allpairs."""
+    import numpy as np
+    from taxahfe_spark.operators.similarity import ann_self_pairs, cosine_allpairs
+
+    rng = np.random.default_rng(8)
+    rows = []
+    base_vecs = rng.normal(0, 1, (40, 16))
+    vid = 0
+    for i in range(40):
+        v = base_vecs[i] / np.linalg.norm(base_vecs[i])
+        rows.append((vid, [float(x) for x in v])); vid += 1
+        if i % 4 == 0:  # planted near-dup: tiny perturbation
+            w = v + rng.normal(0, 0.01, 16)
+            rows.append((vid, [float(x) for x in w])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    exact = {
+        (r["a"], r["b"])
+        for r in cosine_allpairs(df, 0.95).collect()
+    }
+    approx = {
+        (r["a"], r["b"])
+        for r in ann_self_pairs(df, 0.95, n_planes=8, n_tables=8, seed=1).collect()
+    }
+    assert approx <= exact  # precision 1 by construction
+    assert len(exact) >= 10
+    assert len(approx) / len(exact) >= 0.8  # recall with 8 tables
