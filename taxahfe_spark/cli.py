@@ -158,6 +158,24 @@ def load_args(argv: list[str] | None = None) -> argparse.Namespace:
     return opts
 
 
+def append_run_log(opts: argparse.Namespace, status: str) -> None:
+    """S10: append-only run log keyed by program + seed (reference
+    initiate_logger, lib/tree.R:15-39)."""
+    import datetime
+
+    os.makedirs(opts.output_dir, exist_ok=True)
+    path = os.path.join(opts.output_dir, "run_log.csv")
+    header = not os.path.exists(path)
+    flags = " ".join(
+        f"--{k}={v}" for k, v in sorted(vars(opts).items()) if k != "command"
+    )
+    with open(path, "a") as f:
+        if header:
+            f.write("timestamp,program,seed,status,options\n")
+        ts = datetime.datetime.now(datetime.timezone.utc).isoformat()
+        f.write(f'{ts},{opts.command},{opts.seed},{status},"{flags}"\n')
+
+
 def main(argv: list[str] | None = None) -> None:
     opts = load_args(argv)
     from taxahfe_spark.session import get_spark
@@ -166,6 +184,7 @@ def main(argv: list[str] | None = None) -> None:
         f"taxahfe_{opts.command}",
         master=f"local[{getattr(opts, 'ncores', 2)}]",
     )
+    append_run_log(opts, "started")
     try:
         if opts.command == "run-hfe":
             _run_hfe(spark, opts)
@@ -173,6 +192,10 @@ def main(argv: list[str] | None = None) -> None:
             _run_hfe_ml(spark, opts)
         else:
             _run_dietml_cmd(spark, opts)
+        append_run_log(opts, "finished")
+    except BaseException:
+        append_run_log(opts, "failed")
+        raise
     finally:
         spark.stop()
 

@@ -230,3 +230,55 @@ def test_ann_self_pairs_recall_vs_exact(spark):
     assert approx <= exact  # precision 1 by construction
     assert len(exact) >= 10
     assert len(approx) / len(exact) >= 0.8  # recall with 8 tables
+
+
+def test_output_and_level_summary_sinks(spark, tmp_path):
+    """S3/S4 sinks round-trip: winner matrix CSV and per-depth transposed
+    summary CSVs (entity rows x feature cols, metadata joined, zeros for
+    implicit-zero entities)."""
+    import pandas as pd
+    from taxahfe_spark.operators.filters import feature_filter_flags
+    from taxahfe_spark.pipeline import (
+        winner_feature_matrix,
+        write_level_summary_csvs,
+        write_output_file,
+    )
+    from taxahfe_spark.taxonomy import hierarchical_rollup
+
+    rows = [
+        ("k__a|p__x", "s1", 3.0),
+        ("k__a|p__x", "s2", 1.0),
+        ("k__a|p__y", "s1", 2.0),
+        # s3 appears in the data but has no p__x/p__y rows via k__b only
+        ("k__b|p__z", "s3", 5.0),
+    ]
+    long = spark.createDataFrame(rows, "clade_name string, entity_id string, value double")
+    meta = spark.createDataFrame(
+        [("s1", "hi"), ("s2", "lo"), ("s3", "lo")],
+        "subject_id string, feature_of_interest string",
+    )
+    resolved = hierarchical_rollup(long)
+    state = (
+        feature_filter_flags(resolved, 3, 0.0, 0.0)
+        .select("path", "level", "passed_filters")
+        .toPandas()
+    )
+    state["winner"] = state["path"].isin(["k__a|p__x", "k__b|p__z"])
+    state["sf_winner"] = False
+
+    mat = winner_feature_matrix(resolved, state, metadata=meta)
+    out_dir = str(tmp_path / "out")
+    write_output_file(mat, out_dir)
+    import glob
+
+    got = pd.read_csv(glob.glob(f"{out_dir}/part*.csv")[0]).sort_values("subject_id")
+    assert set(got["subject_id"]) == {"s1", "s2", "s3"}
+    # implicit-zero entity s3 present with 0 for the k__a winner
+    assert got.set_index("subject_id").loc["s3", "k_a_p_x"] == 0.0
+
+    lv_dir = str(tmp_path / "levels")
+    written = write_level_summary_csvs(resolved, state, meta, lv_dir)
+    assert len(written) == 2  # levels 1 and 2
+    l2 = pd.read_csv(glob.glob(f"{lv_dir}/level_2/part*.csv")[0])
+    assert {"k_a_p_x", "k_a_p_y", "k_b_p_z", "feature_of_interest"} <= set(l2.columns)
+    assert len(l2) == 3
