@@ -465,6 +465,9 @@ class TreeCompetition:
         self.vectors = vectors
         self.bc_vectors = None
         if strategy == "auto":
+            # persist BEFORE the sizing agg so the (collect_list pivot)
+            # vector build runs once, whichever strategy wins
+            vectors = vectors.persist()
             nnz = vectors.agg(F.sum(F.size("idxs"))).first()[0] or 0
             strategy = (
                 "broadcast"
@@ -488,11 +491,15 @@ class TreeCompetition:
                     for r in vec_rows
                 }
             )
+            if params.vector_strategy == "auto":
+                vectors.unpersist()
         else:
             # the 100 TB path: vectors never touch the driver; persist so the
             # per-level join doesn't recompute the pivot each iteration
             self.vectors = vectors.select("path", "idxs", "vals").persist()
             self.vectors.count()
+            if params.vector_strategy == "auto":
+                vectors.unpersist()  # superseded by the projected cache
 
         self.nodes: dict[str, NodeState] = {}
         for r in flags_pdf.itertuples():

@@ -1,0 +1,130 @@
+"""Physical-plan audit: assert the scale-determining plan properties hold.
+
+The properties below are what actually decide 100 TB behavior (predicate
+pushdown, column pruning, broadcast vs shuffle joins, Exchange reuse across
+the window chain, whole-stage codegen in the hot path). This script checks
+them MECHANICALLY from `.explain`-level plan text, so plan regressions fail
+loudly instead of silently costing a shuffle.
+
+Usage: python tools/explain_audit.py [sf_dir]   (default sf0.01)
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from taxahfe_spark.session import get_spark
+
+    spark = get_spark("explain_audit", master="local[8]", shuffle_partitions=8)
+    failures: list[str] = []
+
+    def check(name: str, ok: bool, detail: str = "") -> None:
+        print(f"{'OK  ' if ok else 'FAIL'} {name}" + (f" ({detail})" if detail else ""))
+        if not ok:
+            failures.append(name)
+
+    # 1. predicate pushdown + column pruning reach the parquet scan
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1995-01-01").select("l_orderkey", "l_quantity")
+    p = plan(q)
+    check(
+        "scan pushdown: filter reaches parquet",
+        "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p,
+    )
+    check(
+        "scan pruning: 3-column ReadSchema for a 16-column table",
+        "ReadSchema: struct<l_orderkey" in p and "l_extendedprice" not in p.split("ReadSchema")[1],
+    )
+
+    # 2. small-dim join is broadcast, not shuffled
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    p = plan(cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey))
+    check("dim join: BroadcastHashJoin", "BroadcastHashJoin" in p)
+
+    # 3. the composed window chain (sessionize -> lag/lead -> LOCF) reuses
+    #    ONE Exchange for the shared (user_id) partitioning
+    from taxahfe_spark.operators.windows import lag_lead_features, locf, sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    chain = locf(
+        lag_lead_features(
+            sessionize(ev, "user_id", "ts", 3600.0, tiebreak="event_id"),
+            "user_id", "ts", ["value"], tiebreak="event_id",
+        ).withColumn("cv", F.when(F.col("event_type") == "click", F.col("value"))),
+        "user_id", "ts", ["cv"], tiebreak="event_id",
+    )
+    p = plan(chain)
+    n_exchange = p.count("Exchange hashpartitioning")
+    check("window chain: single Exchange", n_exchange == 1, f"found {n_exchange}")
+
+    # 4. as-of join (union strategy): one shuffle total, no join operator
+    from taxahfe_spark.operators.asof import asof_join
+
+    snap = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("snap_ts"))
+        .agg(F.max("o_totalprice").alias("o_totalprice"))
+    )
+    p = plan(
+        asof_join(
+            ev.select("event_id", "user_id", "ts"), snap, on="user_id",
+            left_ts="ts", right_ts="snap_ts", value_cols=["o_totalprice"],
+            strategy="union",
+        )
+    )
+    check(
+        "as-of union strategy: no SortMergeJoin (union+window instead)",
+        "SortMergeJoin" not in p,
+    )
+
+    # 5. rollup: map-side partial aggregation before the exchange
+    from taxahfe_spark.taxonomy import hierarchical_rollup
+
+    long = spark.createDataFrame(
+        [("a|b|c", "e1", 1.0), ("a|b|d", "e1", 2.0)],
+        "clade_name string, entity_id string, value double",
+    )
+    p = plan(hierarchical_rollup(long, checkpoint=False))
+    check(
+        "rollup: partial_sum before the exchange (map-side combine)",
+        "partial_sum" in p,
+    )
+
+    # 6. whole-stage codegen covers the text/token hot path (no Python UDFs)
+    from taxahfe_spark.tokens import tokenize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan(tokenize(docs, "text", "doc_id"))
+    check("tokenize: no Python row UDFs", "BatchEvalPython" not in p)
+    # AQE prints codegen spans as "*(n)" only inside finalized (sub)plans;
+    # the top-level AdaptiveSparkPlan is not final before execution
+    check("tokenize: whole-stage codegen spans present", "*(" in p)
+
+    # 7. minhash: no exchange between the pre-explode respread and the
+    #    partial aggregation (the explode/hash pipeline stays fused)
+    from taxahfe_spark.operators.dedup import minhash_signatures
+
+    p = plan(minhash_signatures(docs))
+    check("minhash: partial min agg before exchange", "partial_min" in p)
+
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} plan properties FAILED: {failures}")
+        sys.exit(1)
+    print("\nall plan properties hold")
+
+
+if __name__ == "__main__":
+    main()
