@@ -249,7 +249,11 @@ def _run_hfe(spark, opts) -> None:
         pre = winner_feature_matrix(resolved, state, metadata=meta, use_super_filter=False)
         write_output_file(pre, os.path.join(opts.output_dir, "output_pre_sf"))
     if opts.write_old_files:
+        from taxahfe_spark.pipeline import write_oudah_input, write_v1_input_file
+
         write_level_summary_csvs(resolved, state, meta, os.path.join(opts.output_dir, "levels"))
+        write_v1_input_file(resolved, opts.output_dir)
+        write_oudah_input(resolved, state, meta, os.path.join(opts.output_dir, "oudah"))
     if opts.write_flattened_tree:
         spark.createDataFrame(state).coalesce(1).write.mode("overwrite").option(
             "header", True

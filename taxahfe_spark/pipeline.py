@@ -324,3 +324,85 @@ def write_level_summary_csvs(
         out.coalesce(1).write.mode("overwrite").option("header", True).csv(dest)
         written.append(dest)
     return written
+
+
+def write_v1_input_file(resolved: DataFrame, output_dir: str) -> str:
+    """S5: legacy taxaHFE-v1 input export (reference lib/tree.R:247-257):
+    one row per tree node at EVERY level, clade_name = pipe path, one column
+    per entity. Wide one-column-per-entity layout is inherent to the legacy
+    format — this sink exists for interop with the v1 tool and is bounded by
+    what that tool can read, not a 100 TB path."""
+    entities = sorted(
+        r["entity_id"] for r in resolved.select("entity_id").distinct().collect()
+    )
+    wide = (
+        resolved.groupBy(F.col("path").alias("clade_name"))
+        .pivot("entity_id", entities)
+        .agg(F.first("value"))
+        .na.fill(0.0, subset=entities)
+    )
+    dest = f"{output_dir}/v1_input"
+    wide.coalesce(1).write.mode("overwrite").option("header", True).csv(dest)
+    return dest
+
+
+def write_oudah_input(
+    resolved: DataFrame,
+    state: pd.DataFrame,
+    metadata: DataFrame,
+    output_dir: str,
+) -> dict[str, str]:
+    """S6/T8/J3: legacy Oudah-HFE 3-file export (reference lib/tree.R:
+    261-305): taxonomy.tab (deepest filter-passing paths split into level
+    columns, index from 1001, first level forced 'k__Bacteria' — a verbatim
+    reference quirk), otu.tab (index + per-entity abundances), labels.tab
+    (one row: 'label' then the response ordered by the abundance columns).
+    Legacy-tool-sized by definition; shaped driver-side."""
+    import os
+
+    os.makedirs(output_dir, exist_ok=True)
+    max_level = int(state["level"].max())
+    keep = state[
+        (state["level"] == max_level) & state["passed_filters"]
+    ]["path"].tolist()
+    entities = sorted(
+        r["entity_id"] for r in resolved.select("entity_id").distinct().collect()
+    )
+    spark = resolved.sparkSession
+    keep_df = spark.createDataFrame([(p,) for p in keep], ["path"])
+    abundance = (
+        resolved.filter(F.col("level") == max_level)
+        .join(F.broadcast(keep_df), "path", "left_semi")
+        .groupBy("path")
+        .pivot("entity_id", entities)
+        .agg(F.first("value"))
+        .na.fill(0.0, subset=entities)
+        .toPandas()
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    # T8: path -> L1..Lmax columns
+    parts = abundance["path"].str.split("|", expand=True)
+    parts.columns = [f"L{i+1}" for i in range(parts.shape[1])]
+    parts["L1"] = "k__Bacteria"  # reference lib/tree.R:290 verbatim quirk
+    index = pd.Series(range(1001, 1001 + len(abundance)), name="index")
+    taxa = pd.concat([index, parts], axis=1)
+    otu = pd.concat([index, abundance[entities]], axis=1)
+    paths = {
+        "taxa": f"{output_dir}/oudah_hfe_taxa.txt",
+        "otu": f"{output_dir}/oudah_hfe_otu.txt",
+        "label": f"{output_dir}/oudah_hfe_label.txt",
+    }
+    taxa.to_csv(paths["taxa"], sep="\t", header=False, index=False)
+    otu.to_csv(paths["otu"], sep="\t", header=False, index=False)
+    # J3/O2: labels ordered by the abundance matrix's entity column order
+    meta_pdf = metadata.select("subject_id", "feature_of_interest").toPandas()
+    meta_pdf["subject_id"] = meta_pdf["subject_id"].map(clean_entity)
+    lab = (
+        meta_pdf.set_index("subject_id")
+        .reindex(entities)["feature_of_interest"]
+        .tolist()
+    )
+    with open(paths["label"], "w") as f:
+        f.write("\t".join(["label", *[str(x) for x in lab]]) + "\n")
+    return paths

@@ -282,3 +282,45 @@ def test_output_and_level_summary_sinks(spark, tmp_path):
     l2 = pd.read_csv(glob.glob(f"{lv_dir}/level_2/part*.csv")[0])
     assert {"k_a_p_x", "k_a_p_y", "k_b_p_z", "feature_of_interest"} <= set(l2.columns)
     assert len(l2) == 3
+
+
+def test_legacy_v1_and_oudah_sinks(spark, tmp_path):
+    """S5/S6/T8/J3: legacy exports match the reference's file shapes
+    (lib/tree.R:247-305): v1 = every node wide; oudah = 3 tab files with
+    index from 1001, level columns, and a label row ordered by the
+    abundance columns."""
+    import glob
+
+    import pandas as pd
+    from taxahfe_spark.operators.filters import feature_filter_flags
+    from taxahfe_spark.pipeline import write_oudah_input, write_v1_input_file
+    from taxahfe_spark.taxonomy import hierarchical_rollup
+
+    rows = [
+        ("k__a|p__x|s__1", "s1", 3.0), ("k__a|p__x|s__1", "s2", 1.0),
+        ("k__a|p__x|s__2", "s1", 2.0), ("k__a|p__y|s__3", "s2", 4.0),
+    ]
+    long = spark.createDataFrame(rows, "clade_name string, entity_id string, value double")
+    meta = spark.createDataFrame(
+        [("s1", "hi"), ("s2", "lo")], "subject_id string, feature_of_interest string"
+    )
+    resolved = hierarchical_rollup(long)
+    state = (
+        feature_filter_flags(resolved, 2, 0.0, 0.0)
+        .select("path", "level", "passed_filters")
+        .toPandas()
+    )
+
+    v1 = write_v1_input_file(resolved, str(tmp_path))
+    got = pd.read_csv(glob.glob(f"{v1}/part*.csv")[0])
+    assert list(got.columns) == ["clade_name", "s1", "s2"]
+    assert len(got) == 6  # 3 leaves + 2 mid + 1 root-level (all nodes)
+
+    paths = write_oudah_input(resolved, state, meta, str(tmp_path / "oudah"))
+    taxa = pd.read_csv(paths["taxa"], sep="\t", header=None)
+    otu = pd.read_csv(paths["otu"], sep="\t", header=None)
+    lab = open(paths["label"]).read().strip().split("\t")
+    assert (taxa[0] >= 1001).all() and (taxa[1] == "k__Bacteria").all()
+    assert taxa.shape == (3, 4)  # index + 3 level columns, 3 leaf rows
+    assert otu.shape == (3, 3)  # index + 2 entity columns
+    assert lab == ["label", "hi", "lo"]
