@@ -60,3 +60,42 @@ def test_taxa_hfe_ml_alignment_and_leakage(ml_inputs):
     assert set(tr["subject_id"]).isdisjoint(set(te["subject_id"]))
     # feature columns exist beyond subject_id + label
     assert len(train.columns) > 2
+
+
+def test_taxa_hfe_ml_feeds_dietml_on_same_split(spark):
+    """The full taxa_hfe_ml -> dietML path (cmd/taxa_hfe_ml.R analog):
+    competition on train only, matrices for both splits, dietML consuming
+    the SAME split via split_col, fitted metrics vs null baseline."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from taxahfe_spark.dietml import run_dietml
+    from taxahfe_spark.ml import taxa_hfe_ml
+    from taxahfe_spark.operators.competition import CompetitionParams
+
+    rng = np.random.default_rng(11)
+    rows, meta_rows = [], []
+    for i in range(80):
+        lab = "hi" if i % 2 else "lo"
+        meta_rows.append((f"s{i}", lab))
+        sig = 4.0 if lab == "hi" else 1.0
+        rows.append(("k__a|p__sig", f"s{i}", float(sig + rng.normal(0, 0.2))))
+        rows.append(("k__b|p__noise", f"s{i}", float(abs(rng.normal(2, 0.5)))))
+    long = spark.createDataFrame(rows, "clade_name string, entity_id string, value double")
+    meta = spark.createDataFrame(meta_rows, "subject_id string, feature_of_interest string")
+    params = CompetitionParams(
+        lowest_level=1, nperm=2, num_trees=20, seed=5, disable_super_filter=True
+    )
+    train_m, test_m, state = taxa_hfe_ml(
+        meta, long, params=params, filter_prevalence=0.01, seed=5
+    )
+    full = train_m.withColumn("is_train", F.lit(True)).unionByName(
+        test_m.withColumn("is_train", F.lit(False))
+    )
+    res = run_dietml(
+        full, split_col="is_train", feature_type="factor", model="rf",
+        folds=2, cv_repeats=1, tune_length=1, num_trees=10, seed=5,
+    )
+    fr = res.full_results.set_index(".metric")
+    assert fr.loc["accuracy", "estimate"] > fr.loc["accuracy", "null_model_avg"]
+    assert fr.loc["accuracy", "estimate"] > 0.9
