@@ -586,6 +586,70 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix downsampling (md5-ranked within source)."""
+    from taxahfe_spark.tokens import sample_by_source
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_by_source(docs, {"src0": 0.25, "src1": 0.5}, seed=7)
+    return out.select("doc_id", "source", "lang")
+
+
+_SAMPLE_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source, lang,
+         row_number() OVER (PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source, lang FROM ranked
+WHERE rn <= ceil(n * (CASE source WHEN 'src0' THEN 0.25
+                                  WHEN 'src1' THEN 0.5 ELSE 1.0 END))
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (chunked cumulative bins per source)."""
+    from taxahfe_spark.tokens import pack_sequences, tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    seqs = tokenize(docs, "text", "doc_id", extra_cols=["source"])
+    out = pack_sequences(seqs, budget=512)
+    return out.select(
+        "doc_id", "source",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("bin").cast("long").alias("bin"),
+        F.col("bin_pos").cast("long").alias("bin_pos"),
+    )
+
+
+_PACK_ORACLE = """
+WITH dw AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+nz AS (SELECT * FROM dw WHERE n_tok > 0),
+c AS (
+  SELECT doc_id, source, n_tok,
+         coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM nz
+),
+b AS (
+  SELECT doc_id, source, n_tok,
+         CAST(floor(cum_before / 512.0) AS BIGINT) AS bin
+  FROM c
+)
+SELECT doc_id, source, n_tok, bin,
+       CAST(row_number() OVER (PARTITION BY source, bin ORDER BY doc_id) - 1
+            AS BIGINT) AS bin_pos
+FROM b
+"""
+
+
 def q_cosine_allpairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs embedding near-dup (the correctness baseline for
     ann_self_pairs, which is LSH-bucketed and hash-randomized -> pytest)."""
@@ -1147,6 +1211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_split_folds": q_ml_split_folds,
         "ml_null_metrics": q_ml_null_metrics,
         "ml_linreg_metrics": q_ml_linreg_metrics,
+        "sample_by_source": q_sample_by_source,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1347,6 +1413,8 @@ def oracle_sql() -> dict[str, str]:
         "ml_split_folds": _ML_SPLIT_ORACLE,
         "ml_null_metrics": _ML_NULL_ORACLE,
         "ml_linreg_metrics": _ML_LINREG_ORACLE,
+        "sample_by_source": _SAMPLE_ORACLE,
+        "pack_sequences": _PACK_ORACLE,
         # minhash_dedup_docs (xxhash64 has no DuckDB analog) and hfe_collapse
         # (RF-randomized decisions) are genuinely non-SQL-expressible ->
         # rows-only checks; hfe_corr_collapse oracles the deterministic

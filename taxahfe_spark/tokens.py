@@ -211,3 +211,62 @@ def point_in_time_token_features(
         w = Window.partitionBy(id_col, ts_col, "level")
         counts = counts.withColumn("value", F.col("value") / F.sum("value").over(w))
     return counts
+
+
+def sample_by_source(
+    df: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic proportional downsampling per source — the standard
+    training-mix operator (e.g. keep 100% of books, 10% of crawl).
+
+    Hash-ranked within source: the kept set is a pure function of
+    (id, seed) — layout-invariant, reproducible, and portable to any engine
+    with md5 (the DuckDB oracle replays it bit-for-bit). Sources missing
+    from ``rates`` are kept whole.
+    """
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))).asc(),
+        F.col(id_col).asc(),
+    )
+    wn = Window.partitionBy(source_col)
+    rate = F.lit(1.0)
+    for src, r in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == src, float(r)).otherwise(rate)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * rate))
+        .drop("__rn", "__n")
+    )
+
+
+def pack_sequences(
+    seqs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    ntok_col: str = "n_tok",
+    group_col: str | None = "source",
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget bins for
+    context-window training batches.
+
+    Chunked cumulative packing: within each group (deterministic id order),
+    ``bin = floor(running_tokens_before_doc / budget)`` — one window pass,
+    no stateful scan, expressible identically in any SQL engine. Bins fill
+    to >= budget with bounded overflow of one document (the streaming-
+    friendly packing approximation used when exact first-fit is not worth a
+    sequential pass). Adds ``bin`` and ``bin_pos``.
+    """
+    keys = [group_col] if group_col else []
+    w = Window.partitionBy(*keys).orderBy(F.col(id_col).asc())
+    cum_before = F.coalesce(
+        F.sum(ntok_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    out = seqs.withColumn("bin", F.floor(cum_before / budget))
+    wb = Window.partitionBy(*keys, "bin").orderBy(F.col(id_col).asc())
+    return out.withColumn("bin_pos", F.row_number().over(wb) - 1)

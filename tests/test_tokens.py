@@ -133,3 +133,29 @@ def test_build_vocab_prefix_partitioned_matches_global_sort(spark):
         r["word"]: r["token_id"] for r in build_vocab(docs).collect()
     }
     assert got_small == expected
+
+
+def test_sample_by_source_deterministic_rates(spark):
+    from taxahfe_spark.tokens import sample_by_source
+
+    rows = [(i, f"s{i % 2}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sample_by_source(df, {"s0": 0.2}, seed=3)
+    p = out.toPandas()
+    assert (p[p.source == "s0"].shape[0]) == 10  # ceil(50 * 0.2)
+    assert (p[p.source == "s1"].shape[0]) == 50  # unlisted source kept whole
+    p2 = sample_by_source(df, {"s0": 0.2}, seed=3).toPandas()
+    assert sorted(p.doc_id) == sorted(p2.doc_id)
+
+
+def test_pack_sequences_budget_and_positions(spark):
+    from taxahfe_spark.tokens import pack_sequences
+
+    rows = [(i, "a", 100) for i in range(10)]  # 10 docs x 100 tokens
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    out = pack_sequences(df, budget=250).toPandas().sort_values("doc_id")
+    # cum_before: 0,100,...,900 -> bins 0,0,0,1,1,2,2,2,3,3
+    assert out["bin"].tolist() == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    assert out.groupby("bin")["bin_pos"].apply(
+        lambda s: sorted(s) == list(range(len(s)))
+    ).all()
