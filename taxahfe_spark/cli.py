@@ -299,6 +299,7 @@ def _run_hfe_ml(spark, opts) -> None:
         pct_loss=float(opts.pct_loss),
         cor_level=float(opts.cor_level) if opts.cor_level < 1 else 1.0,
         vif_threshold=float(opts.vif_threshold),
+        info_gain_n=int(opts.info_gain_n),
         seed=opts.seed,
         shap=opts.shap,
     )
@@ -340,6 +341,7 @@ def _run_dietml_cmd(spark, opts) -> None:
         pct_loss=float(opts.pct_loss),
         cor_level=float(opts.cor_level) if opts.cor_level < 1 else 1.0,
         vif_threshold=float(opts.vif_threshold),
+        info_gain_n=int(opts.info_gain_n),
         seed=opts.seed,
         shap=opts.shap,
     )

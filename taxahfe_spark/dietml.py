@@ -165,8 +165,12 @@ def fit_recipe(
     feature_cols: list[str],
     standardize: bool,
     cor_level: float = 1.0,
+    info_gain_n: int = 0,
+    label_col: str | None = None,
+    feature_type: str = "factor",
 ) -> Recipe:
-    """step_novel -> step_dummy -> step_zv -> (center+scale) -> step_corr.
+    """step_novel -> step_dummy -> step_zv -> (center+scale) -> step_corr
+    -> (step_select_infgain when info_gain_n > 0).
 
     One-hot categories come from train; unseen test levels encode to
     all-zeros (the effect of step_novel's synthetic level, which is all-zero
@@ -210,6 +214,19 @@ def fit_recipe(
         dropped_corr = _find_correlated(corr, keep, cor_level)
         keep = [c for c in keep if c not in dropped_corr]
 
+    if info_gain_n > 0 and label_col is not None and len(keep) > info_gain_n:
+        # step_select_infgain (reference lib/diet_ml_funcs.R:706-710): keep
+        # the top-n predictors by univariate information gain vs the label
+        # (quartile-binned MI for both response types — one groupBy pass per
+        # evaluation over class-count-sized frames)
+        keep_set = set(keep)
+        keep_exprs = [e for n, e in zip(names, exprs) if n in keep_set]
+        scores = _info_gain_scores(
+            train, keep_exprs, keep, label_col, feature_type
+        )
+        ranked = sorted(keep, key=lambda c: (-scores.get(c, 0.0), c))
+        keep = [c for c in keep if c in set(ranked[:info_gain_n])]
+
     center, scale = {}, {}
     if standardize:
         for c in numeric:
@@ -225,6 +242,66 @@ def fit_recipe(
         dropped_zv=dropped_zv,
         dropped_corr=dropped_corr,
     )
+
+
+def _info_gain_scores(
+    train: DataFrame,
+    col_exprs: list,
+    cols: list[str],
+    label_col: str,
+    feature_type: str,
+) -> dict[str, float]:
+    """Univariate information gain (mutual information on quartile-binned
+    features; numeric labels quartile-binned too). One approxQuantile pass +
+    one unpivoted groupBy; only (feature x bin x class) counts reach the
+    driver."""
+    lab = (
+        F.col(label_col).cast("string")
+        if feature_type == "factor"
+        else F.ntile(4).over(Window.orderBy(F.col(label_col).cast("double"))).cast("string")
+    )
+    # one projection carrying features AND label (row alignment by
+    # construction, not by id-zipping two plans)
+    joined = train.select(lab.alias("__lab"), *col_exprs)
+    edges = {
+        c: sorted(set(q))
+        for c, q in zip(
+            cols, joined.approxQuantile(cols, [0.25, 0.5, 0.75], 0.01)
+        )
+    }
+
+    def bin_expr(c: str) -> F.Column:
+        e = F.lit(0)
+        for i, edge in enumerate(edges[c]):
+            e = F.when(F.col(c) > float(edge), i + 1).otherwise(e)
+        return e.cast("string")
+
+    stacked = joined.select(
+        "__lab",
+        F.explode(
+            F.array(*[F.struct(F.lit(c).alias("f"), bin_expr(c).alias("b")) for c in cols])
+        ).alias("fb"),
+    ).select("__lab", F.col("fb.f").alias("f"), F.col("fb.b").alias("b"))
+    counts = stacked.groupBy("f", "b", "__lab").count().collect()
+    import collections
+
+    by_f: dict[str, dict[tuple[str, str], int]] = collections.defaultdict(dict)
+    for r in counts:
+        by_f[r["f"]][(r["b"], r["__lab"])] = r["count"]
+    scores: dict[str, float] = {}
+    for c, joint in by_f.items():
+        n = sum(joint.values())
+        pb: dict[str, float] = collections.defaultdict(float)
+        pl: dict[str, float] = collections.defaultdict(float)
+        for (b, lb), cnt in joint.items():
+            pb[b] += cnt / n
+            pl[lb] += cnt / n
+        mi = 0.0
+        for (b, lb), cnt in joint.items():
+            pxy = cnt / n
+            mi += pxy * np.log(pxy / (pb[b] * pl[lb]))
+        scores[c] = float(mi)
+    return scores
 
 
 def _corr_matrix(df: DataFrame, cols: list[str]) -> np.ndarray:
@@ -554,6 +631,7 @@ def run_dietml(
     pct_loss: float = 0.0,
     cor_level: float = 1.0,
     vif_threshold: float = 0.0,
+    info_gain_n: int = 0,
     seed: int = 42,
     num_trees: int = 100,
     split_col: str | None = None,
@@ -585,7 +663,10 @@ def run_dietml(
 
     kept, audit = reduce_collinearity(train, feature_cols, vif_threshold, cor_level)
     standardize = model in ("ridge", "lasso", "enet", "svm")
-    recipe = fit_recipe(train, kept, standardize, cor_level)
+    recipe = fit_recipe(
+        train, kept, standardize, cor_level,
+        info_gain_n=info_gain_n, label_col=label_col, feature_type=feature_type,
+    )
 
     classes = None
     if feature_type == "factor":

@@ -307,3 +307,24 @@ def test_shap_adaptive_nsim_clamps():
     assert adaptive_nsim(10, 2) == 200       # tiny data -> cap 200
     assert adaptive_nsim(10**6, 100) == 10   # huge -> floor 10
     assert adaptive_nsim(1000, 60) == 20     # 1.2e6/6e4
+
+
+def test_recipe_info_gain_selects_signal(spark):
+    """step_select_infgain analog: top-n univariate MI keeps the label-
+    informative feature and drops noise."""
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(120):
+        lab = "a" if i % 2 else "b"
+        sig = (3.0 if lab == "a" else 0.5) + rng.normal(0, 0.3)
+        rows.append((f"s{i}", float(sig), float(rng.normal(0, 1)),
+                     float(rng.normal(0, 1)), lab))
+    df = spark.createDataFrame(
+        rows,
+        "subject_id string, sig double, n1 double, n2 double, feature_of_interest string",
+    )
+    rec = fit_recipe(
+        df, ["sig", "n1", "n2"], standardize=False,
+        info_gain_n=1, label_col="feature_of_interest", feature_type="factor",
+    )
+    assert rec.keep_cols == ["sig"]
