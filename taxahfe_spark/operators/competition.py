@@ -525,15 +525,99 @@ class TreeCompetition:
                 found.extend(self.descendant_winners(child))
         return found
 
-    def run(self) -> pd.DataFrame:
+    # -- resume (north rule: restart from per-level checkpoints) ------------
+
+    def _run_fingerprint(self) -> str:
+        """Identity of this competition run: params + node universe. A
+        resume dir holding a different fingerprint is ignored, never mixed."""
+        import hashlib
+
         p = self.params
+        key = "|".join(
+            [
+                str(p.seed), str(p.nperm), str(p.corr_threshold), p.corr_method,
+                p.feature_type, p.competition_mode, str(p.num_trees),
+                str(p.lowest_level), str(p.max_level), str(p.random_effects),
+            ]
+        )
+        h = hashlib.sha256(key.encode())
+        for path in sorted(self.nodes):
+            h.update(path.encode())
+            h.update(b"\x00")
+        return h.hexdigest()[:16]
+
+    def _save_progress(self, resume_dir: str, completed: list) -> None:
+        import json
+        import os
+
+        os.makedirs(resume_dir, exist_ok=True)
+        state = {
+            "fingerprint": self._run_fingerprint(),
+            "completed": completed,
+            "nodes": [
+                {
+                    "path": n.path,
+                    "winner": n.winner,
+                    "sf_winner": n.sf_winner,
+                    "highly_correlated": n.highly_correlated,
+                    "lost_rf": n.lost_rf,
+                    "competed": n.competed,
+                    "outcomes": n.outcomes,
+                }
+                for n in self.nodes.values()
+            ],
+        }
+        tmp = os.path.join(resume_dir, "competition_state.json.tmp")
+        dst = os.path.join(resume_dir, "competition_state.json")
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, dst)  # commit-last: a crash mid-write leaves the
+        # previous committed level intact
+
+    def _load_progress(self, resume_dir: str) -> list:
+        import json
+        import os
+
+        path = os.path.join(resume_dir, "competition_state.json")
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            state = json.load(f)
+        if state.get("fingerprint") != self._run_fingerprint():
+            return []
+        for rec in state["nodes"]:
+            n = self.nodes.get(rec["path"])
+            if n is None:
+                continue
+            n.winner = rec["winner"]
+            n.sf_winner = rec["sf_winner"]
+            n.highly_correlated = rec["highly_correlated"]
+            n.lost_rf = rec["lost_rf"]
+            n.competed = rec["competed"]
+            n.outcomes = list(rec["outcomes"])
+        return state["completed"]
+
+    def run(self, resume_dir: str | None = None) -> pd.DataFrame:
+        """Compete the tree. With ``resume_dir``, node state is committed
+        after every level (driver-side JSON, taxonomy-sized, commit-last) and
+        a restarted run with the same inputs skips completed levels — the
+        level-loop analog of StageCheckpointer for the distributed frames."""
+        p = self.params
+        done = self._load_progress(resume_dir) if resume_dir else []
         levels = sorted({n.level for n in self.nodes.values()}, reverse=True)
         for lvl in levels:
             if lvl > p.max_level or lvl < p.lowest_level:
                 continue
+            if lvl in done:
+                continue
             self._compete_level(lvl)
+            if resume_dir:
+                self._save_progress(resume_dir, done := done + [lvl])
         if not p.disable_super_filter and p.competition_mode == "full":
-            self._super_filter()
+            if "super" not in done:
+                self._super_filter()
+                if resume_dir:
+                    self._save_progress(resume_dir, done + ["super"])
         if self.strategy == "shuffle":
             self.vectors.unpersist()
         return self.state_frame()

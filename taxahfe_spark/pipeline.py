@@ -143,8 +143,12 @@ def taxa_hfe(
     filter_prevalence: float = 0.01,
     filter_mean_abundance: float = 0.0,
     from_reference_levels: bool = False,
+    resume_dir: str | None = None,
 ) -> tuple[DataFrame, pd.DataFrame]:
     """Run the full HFE collapse.
+
+    ``resume_dir``: commit per-level competition state there and skip
+    completed levels on restart (see TreeCompetition.run).
 
     metadata: (subject_id, feature_of_interest, covariates...) — small, used
     both to prune entities (reference lib/tree.R:177-178) and as the RF design.
@@ -235,7 +239,7 @@ def taxa_hfe(
         vectors, flags_pdf, label, cov, params,
         re_individual=re_individual, re_time=re_time,
     )
-    state = comp.run()
+    state = comp.run(resume_dir=resume_dir)
     return resolved, state
 
 

@@ -54,3 +54,50 @@ def test_no_commit_marker_means_rerun(spark, tmp_path):
     out = cp.checkpoint(df, "s", inputs=[])
     assert out.count() == 100
     assert cp.load_manifest("s") is not None
+
+
+def test_competition_level_resume(spark, tmp_path):
+    """A restarted competition with the same inputs + resume_dir skips every
+    completed level (no Spark stages run) and reproduces the state exactly;
+    changed params invalidate the checkpoint via the run fingerprint."""
+    import numpy as np
+    import pandas as pd
+
+    from taxahfe_spark.operators.competition import CompetitionParams, TreeCompetition
+    from taxahfe_spark.operators.filters import feature_filter_flags
+    from taxahfe_spark.taxonomy import hierarchical_rollup, to_feature_vectors
+
+    rng = np.random.default_rng(2)
+    entities = [f"s{i}" for i in range(40)]
+    label = np.array(["a"] * 20 + ["b"] * 20)
+    rows = []
+    for i, e in enumerate(entities):
+        sig = 4.0 if label[i] == "a" else 0.5
+        rows.append(("k__x|p__sig", e, float(sig + rng.normal(0, 0.2))))
+        rows.append(("k__x|p__junk", e, float(abs(rng.normal(1, 0.3)))))
+    long = spark.createDataFrame(rows, "clade_name string, entity_id string, value double")
+    resolved = hierarchical_rollup(long)
+    flags = (
+        feature_filter_flags(resolved, 40, 0.0, 0.0)
+        .select("path", "level", "passed_filters")
+        .toPandas()
+    )
+    vectors = to_feature_vectors(resolved, entities)
+    params = CompetitionParams(lowest_level=1, nperm=2, num_trees=20, seed=3)
+    rdir = str(tmp_path / "resume")
+
+    comp1 = TreeCompetition(vectors, flags, label, None, params)
+    state1 = comp1.run(resume_dir=rdir)
+
+    comp2 = TreeCompetition(vectors, flags, label, None, params)
+    comp2._run_stage = None  # any Spark stage attempt would raise TypeError
+    state2 = comp2.run(resume_dir=rdir)
+    pd.testing.assert_frame_equal(state1, state2)
+
+    # different seed -> fingerprint mismatch -> checkpoint ignored (stages
+    # WOULD run; verify by the loader returning no completed levels)
+    comp3 = TreeCompetition(
+        vectors, flags, label, None,
+        CompetitionParams(lowest_level=1, nperm=2, num_trees=20, seed=4),
+    )
+    assert comp3._load_progress(rdir) == []
