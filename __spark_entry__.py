@@ -1118,7 +1118,8 @@ vals AS (
   UNION ALL
   SELECT 'bal_accuracy', (SELECT avg(balpart) FROM f1s)
   UNION ALL
-  SELECT 'f_meas', (SELECT avg(f1) FROM f1s)
+  -- yardstick binary default (event_level="first"): the FIRST class's F1
+  SELECT 'f_meas', (SELECT f1 FROM f1s ORDER BY cls ASC LIMIT 1)
 )
 SELECT metric, round(value, 6) AS value FROM vals
 """

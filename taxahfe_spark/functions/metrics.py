@@ -13,9 +13,14 @@ Formula parity notes (yardstick):
 - bal_accuracy: mean over classes of (recall_c + specificity_c) / 2
   (binary == (sens + spec) / 2).
 - kap: (p_o - p_e) / (1 - p_e), p_e from row x column marginals.
-- f_meas: macro-averaged F1 (binary reduces to the event-class F1 when both
-  classes are present; yardstick's event_level="first" differs only when a
-  class is entirely absent from truth AND estimate).
+- f_meas: yardstick's binary default (event_level="first") is the EVENT-class
+  F1 of the first level — not macro — so 2-class matrices return the first
+  class's F1; macro averaging applies only for 3+ classes.
+- roc_auc: exact Mann-Whitney with midranks for ties. Computed with a
+  two-level ranked aggregation (quantile-bucketed row_number + bucket
+  offsets) — equal probs always land in the same bucket because bucketing is
+  a pure function of the value, so midranks are exact AND there is no
+  single-task global sort (every Window here has a partitionBy).
 - rsq: squared Pearson correlation of (truth, estimate).
 - ccc (bias = FALSE, the yardstick default): 2*cov_samp /
   (var_samp_t + var_samp_e + (mean_t - mean_e)^2).
@@ -72,7 +77,9 @@ def classification_metrics_from_cm(m: np.ndarray) -> dict[str, float]:
     bal_accuracy = float(np.nanmean((recall + spec) / 2))
     p_e = float((row * col).sum() / (n * n))
     kap = float((accuracy - p_e) / (1 - p_e)) if p_e < 1 else 0.0
-    f_meas = float(np.nanmean(f1))
+    # binary: event-class (first level) F1, yardstick event_level="first";
+    # macro average only for 3+ classes
+    f_meas = float(f1[0]) if len(f1) == 2 else float(np.nanmean(f1))
     return {
         "accuracy": float(accuracy),
         "bal_accuracy": bal_accuracy,
@@ -96,28 +103,66 @@ def classification_metrics(
     out["roc_auc"] = float("nan")
     if prob_col is not None and len(classes) == 2:
         event = event_class or classes[0]
-        # exact Mann-Whitney AUC via rank aggregation (one window + one agg)
-        from pyspark.sql import Window
-
-        ranked = pred.withColumn(
-            "__r", F.rank().over(Window.orderBy(F.col(prob_col)))
-        ).withColumn(
-            "__rr",
-            F.avg("__r").over(Window.partitionBy(prob_col)),
-        )
-        agg = ranked.agg(
-            F.sum(
-                F.when(F.col(truth_col) == event, F.col("__rr"))
-            ).alias("rpos"),
-            F.sum((F.col(truth_col) == event).cast("long")).alias("npos"),
-            F.count(F.lit(1)).alias("n"),
-        ).first()
-        npos, n = agg["npos"], agg["n"]
-        nneg = n - npos
-        if npos and nneg:
-            auc = (agg["rpos"] - npos * (npos + 1) / 2) / (npos * nneg)
-            out["roc_auc"] = float(auc)
+        out["roc_auc"] = binary_auc(pred, truth_col, prob_col, event)
     return out
+
+
+def binary_auc(
+    pred: DataFrame, truth_col: str, prob_col: str, event: str, n_buckets: int = 32
+) -> float:
+    """Exact Mann-Whitney AUC with correct midranks for tied probabilities.
+
+    AUC = (sum of positive midranks - npos*(npos+1)/2) / (npos * nneg).
+    Midranks come from a TWO-LEVEL ranking: probs are bucketed by
+    approxQuantile edges (bucketing is a pure function of the value, so tied
+    probs can never straddle buckets), row_number is assigned within each
+    bucket, the midrank within a (bucket, prob) tie group is the average
+    row_number, and the global rank adds the bucket's cumulative offset
+    (a <= n_buckets-row driver list). No unpartitioned Window anywhere, so
+    the rank never funnels through one task — ties (guaranteed for RF/GBT
+    probs, which are multiples of 1/numTrees) still midrank exactly.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    base = pred.select(
+        (F.col(truth_col) == event).cast("long").alias("__pos"),
+        F.col(prob_col).cast("double").alias("__p"),
+    )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = sorted(set(base.approxQuantile("__p", qs, 0.001)))
+    bucket = reduce(
+        lambda acc, e: acc + (F.col("__p") > F.lit(float(e))).cast("int"),
+        edges,
+        F.lit(0),
+    )
+    bk = base.withColumn("__b", bucket)
+    cnts = {r["__b"]: r["count"] for r in bk.groupBy("__b").count().collect()}
+    offsets, acc = {}, 0
+    for b in sorted(cnts):
+        offsets[b] = acc
+        acc += cnts[b]
+    off_expr = reduce(
+        lambda e, b: e.when(F.col("__b") == b, float(offsets[b])),
+        sorted(offsets),
+        F.when(F.lit(False), 0.0),
+    ).otherwise(0.0)
+    w_rn = Window.partitionBy("__b").orderBy("__p")
+    w_tie = Window.partitionBy("__b", "__p")
+    ranked = bk.withColumn("__rn", F.row_number().over(w_rn)).withColumn(
+        "__mid", F.avg("__rn").over(w_tie) + off_expr
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("__pos") == 1, F.col("__mid"))).alias("rpos"),
+        F.sum("__pos").alias("npos"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    npos, n = agg["npos"], agg["n"]
+    nneg = n - (npos or 0)
+    if not npos or not nneg:
+        return float("nan")
+    return float((agg["rpos"] - npos * (npos + 1) / 2) / (npos * nneg))
 
 
 def regression_metrics(

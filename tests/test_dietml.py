@@ -53,7 +53,15 @@ def test_classification_metrics_hand_computed():
     assert out["accuracy"] == pytest.approx(acc)
     assert out["bal_accuracy"] == pytest.approx(bal)
     assert out["kap"] == pytest.approx(kap)
-    assert out["f_meas"] == pytest.approx((f1a + f1b) / 2)
+    # yardstick binary default: event-class (first level) F1, not macro
+    assert out["f_meas"] == pytest.approx(f1a)
+    # macro averaging still applies for 3+ classes
+    m3 = np.array([[5.0, 1.0, 0.0], [1.0, 6.0, 1.0], [0.0, 2.0, 4.0]])
+    out3 = classification_metrics_from_cm(m3)
+    p = np.diag(m3) / m3.sum(axis=0)
+    r = np.diag(m3) / m3.sum(axis=1)
+    f1s = 2 * p * r / (p + r)
+    assert out3["f_meas"] == pytest.approx(f1s.mean())
 
 
 def test_regression_metrics_hand_computed(spark):
@@ -83,6 +91,53 @@ def test_binary_auc_mann_whitney(spark):
     out = classification_metrics(df, prob_col="prob", event_class="a")
     # pairs: 9 total, positive-ranked-higher: (.9,.8 beat all 3)=6, .4 beats .3,.2 = 2 -> 8/9
     assert out["roc_auc"] == pytest.approx(8 / 9)
+
+
+def test_binary_auc_tied_probs_midrank(spark):
+    """Ties must use Mann-Whitney MIDRANKS (ADVICE r2: F.rank() min-rank bug).
+
+    RF/GBT probs are multiples of 1/numTrees, so ties are the common case:
+    all-tied probs must give AUC 0.5, and partial ties must match the
+    hand-computed midrank formula.
+    """
+    from pyspark.sql import functions as F
+
+    # all probabilities identical -> AUC must be exactly 0.5 (was 0.0)
+    rows = [("a", 0.5), ("a", 0.5), ("b", 0.5), ("b", 0.5)]
+    df = spark.createDataFrame(rows, "truth string, prob double").withColumn(
+        "estimate", F.lit("a")
+    )
+    out = classification_metrics(df, prob_col="prob", event_class="a")
+    assert out["roc_auc"] == pytest.approx(0.5)
+
+    # partial ties: probs .9(a) .5(a) .5(b) .5(b) .1(b)
+    # ranks: .1->1, .5 tie group midrank (2+3+4)/3=3, .9->5
+    # rpos = 5 + 3 = 8; npos=2, nneg=3; auc = (8 - 3) / 6 = 5/6
+    rows = [("a", 0.9), ("a", 0.5), ("b", 0.5), ("b", 0.5), ("b", 0.1)]
+    df = spark.createDataFrame(rows, "truth string, prob double").withColumn(
+        "estimate", F.lit("a")
+    )
+    out = classification_metrics(df, prob_col="prob", event_class="a")
+    assert out["roc_auc"] == pytest.approx(5 / 6)
+
+
+def test_binary_auc_matches_numpy_oracle(spark):
+    """Randomized parity vs a numpy midrank-AUC oracle, incl. many ties."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    probs = rng.integers(0, 10, 200) / 10.0  # heavy ties
+    truth = np.where(rng.random(200) < 1 / (1 + np.exp(-4 * (probs - 0.5))), "a", "b")
+    df = spark.createDataFrame(
+        [(str(t), float(p)) for t, p in zip(truth, probs)],
+        "truth string, prob double",
+    ).withColumn("estimate", F.lit("a"))
+    out = classification_metrics(df, prob_col="prob", event_class="a")
+    ranks = pd.Series(probs).rank(method="average").to_numpy()
+    npos = (truth == "a").sum()
+    nneg = len(truth) - npos
+    expect = (ranks[truth == "a"].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+    assert out["roc_auc"] == pytest.approx(expect)
 
 
 # -- split / folds (M2-M4) ----------------------------------------------------
