@@ -207,6 +207,7 @@ def _read_inputs(spark, opts):
     meta = read_metadata(
         spark, opts.METADATA,
         subject_identifier=opts.subject_identifier, label=opts.label,
+        limit_covariates=True, feature_type=opts.feature_type,
     )
     long = melt_wide_matrix(read_hierarchical_data(spark, opts.DATA, validate_na=True))
     return meta, long
@@ -241,6 +242,7 @@ def _run_hfe(spark, opts) -> None:
         filter_prevalence=opts.prevalence,
         filter_mean_abundance=opts.abundance,
         from_reference_levels=True,
+        k_splits=int(opts.k_splits),
     )
     use_sf = not opts.disable_super_filter
     out = winner_feature_matrix(resolved, state, metadata=meta, use_super_filter=use_sf)
@@ -263,8 +265,53 @@ def _run_hfe(spark, opts) -> None:
     print(f"taxaHFE collapse complete -> {opts.output_dir} (seed {opts.seed})")
 
 
+def _dietml_kwargs(opts) -> dict:
+    return dict(
+        feature_type=opts.feature_type,
+        model=opts.model,
+        train_frac=opts.train_split,
+        folds=int(opts.folds),
+        cv_repeats=int(opts.cv_repeats),
+        metric=opts.metric,
+        tune_length=int(opts.tune_length),
+        tune_stop=int(opts.tune_stop),
+        tune_time_min=float(opts.tune_time),
+        pct_loss=float(opts.pct_loss),
+        cor_level=float(opts.cor_level) if opts.cor_level < 1 else 1.0,
+        vif_threshold=float(opts.vif_threshold),
+        info_gain_n=int(opts.info_gain_n),
+        seed=opts.seed,
+        shap=opts.shap,
+        parallel_workers=int(opts.parallel_workers),
+    )
+
+
+def _write_ml_sinks(res, opts, program: str) -> None:
+    """S8 sink trio: ml_results.csv (append) + raw_predictions.csv
+    (overwrite) + dummy_model_results.csv (append), reference
+    lib/diet_ml_funcs.R:410-412 + 987-1013."""
+    from taxahfe_spark.dietml import (
+        append_dummy_results_csv,
+        append_results_csv,
+        write_raw_predictions_csv,
+    )
+
+    ml_dir = os.path.join(opts.output_dir, "ml_analysis")
+    append_results_csv(
+        res, os.path.join(ml_dir, "ml_results.csv"), seed=opts.seed, program=program
+    )
+    write_raw_predictions_csv(res, os.path.join(ml_dir, "raw_predictions.csv"))
+    append_dummy_results_csv(
+        res, os.path.join(ml_dir, "dummy_model_results.csv"), seed=opts.seed
+    )
+    if res.shap_ranking is not None:
+        res.shap_ranking.to_csv(
+            os.path.join(ml_dir, "shap_ranking.csv"), index=False
+        )
+
+
 def _run_hfe_ml(spark, opts) -> None:
-    from taxahfe_spark.dietml import append_results_csv, run_dietml
+    from taxahfe_spark.dietml import run_dietml
     from taxahfe_spark.ml import taxa_hfe_ml
     from taxahfe_spark.pipeline import write_output_file
 
@@ -275,6 +322,7 @@ def _run_hfe_ml(spark, opts) -> None:
         filter_mean_abundance=opts.abundance,
         train_frac=opts.train_split,
         seed=opts.seed,
+        k_splits=int(opts.k_splits),
     )
     write_output_file(train_m, os.path.join(opts.output_dir, "train"))
     write_output_file(test_m, os.path.join(opts.output_dir, "test"))
@@ -284,40 +332,53 @@ def _run_hfe_ml(spark, opts) -> None:
     full = train_m.withColumn("is_train", F.lit(True)).unionByName(
         test_m.withColumn("is_train", F.lit(False))
     )
-    res = run_dietml(
-        full,
-        split_col="is_train",
-        feature_type=opts.feature_type,
-        model=opts.model,
-        train_frac=opts.train_split,
-        folds=int(opts.folds),
-        cv_repeats=int(opts.cv_repeats),
-        metric=opts.metric,
-        tune_length=int(opts.tune_length),
-        tune_stop=int(opts.tune_stop),
-        tune_time_min=float(opts.tune_time),
-        pct_loss=float(opts.pct_loss),
-        cor_level=float(opts.cor_level) if opts.cor_level < 1 else 1.0,
-        vif_threshold=float(opts.vif_threshold),
-        info_gain_n=int(opts.info_gain_n),
-        seed=opts.seed,
-        shap=opts.shap,
-    )
-    append_results_csv(
-        res, os.path.join(opts.output_dir, "ml_analysis", "ml_results.csv"),
-        seed=opts.seed, program="taxaHFE-ML",
-    )
-    if res.shap_ranking is not None:
-        os.makedirs(os.path.join(opts.output_dir, "ml_analysis"), exist_ok=True)
-        res.shap_ranking.to_csv(
-            os.path.join(opts.output_dir, "ml_analysis", "shap_ranking.csv"),
-            index=False,
-        )
+    res = run_dietml(full, split_col="is_train", **_dietml_kwargs(opts))
+    _write_ml_sinks(res, opts, program="taxaHFE-ML")
+    if opts.summarized_levels:
+        _run_summarized_levels(spark, opts, meta, long, train_m)
     print(res.full_results.to_string(index=False))
 
 
+def _run_summarized_levels(spark, opts, meta, long, train_m) -> None:
+    """M12 dispatch (reference cmd/taxa_hfe_ml.R:124-186): full-data tree
+    with filters only, one dietML run per depth on that depth's passing
+    features, split by the ORIGINAL train subject set, results appended to
+    ml_results.csv with program=summarized_level_{depth}."""
+    from pyspark.sql import functions as F
+
+    from taxahfe_spark.dietml import append_results_csv, summarized_levels
+    from taxahfe_spark.pipeline import levels_tree
+
+    resolved, flags = levels_tree(
+        meta, long,
+        filter_prevalence=opts.prevalence,
+        filter_mean_abundance=opts.abundance,
+    )
+    train_ids = train_m.select("subject_id").distinct()
+    split_assign = (
+        resolved.select(F.col("entity_id").alias("subject_id"))
+        .distinct()
+        .join(
+            train_ids.withColumn("is_train", F.lit(True)), "subject_id", "left"
+        )
+        .na.fill(False, subset=["is_train"])
+    )
+    results = summarized_levels(
+        resolved, flags, meta,
+        split_assign=split_assign,
+        csv_dir=opts.output_dir,
+        csv_seed=opts.seed,
+        **_dietml_kwargs(opts),
+    )
+    for lvl, r in sorted(results.items()):
+        append_results_csv(
+            r, os.path.join(opts.output_dir, "ml_analysis", "ml_results.csv"),
+            seed=opts.seed, program=f"summarized_level_{lvl}",
+        )
+
+
 def _run_dietml_cmd(spark, opts) -> None:
-    from taxahfe_spark.dietml import append_results_csv, run_dietml
+    from taxahfe_spark.dietml import run_dietml
 
     sep = "\t" if opts.DATA.endswith((".tsv", ".txt")) else ","
     df = (
@@ -327,33 +388,8 @@ def _run_dietml_cmd(spark, opts) -> None:
             {opts.subject_identifier: "subject_id", opts.label: "feature_of_interest"}
         )
     )
-    res = run_dietml(
-        df,
-        feature_type=opts.feature_type,
-        model=opts.model,
-        train_frac=opts.train_split,
-        folds=int(opts.folds),
-        cv_repeats=int(opts.cv_repeats),
-        metric=opts.metric,
-        tune_length=int(opts.tune_length),
-        tune_stop=int(opts.tune_stop),
-        tune_time_min=float(opts.tune_time),
-        pct_loss=float(opts.pct_loss),
-        cor_level=float(opts.cor_level) if opts.cor_level < 1 else 1.0,
-        vif_threshold=float(opts.vif_threshold),
-        info_gain_n=int(opts.info_gain_n),
-        seed=opts.seed,
-        shap=opts.shap,
-    )
-    append_results_csv(
-        res, os.path.join(opts.output_dir, "ml_analysis", "ml_results.csv"),
-        seed=opts.seed, program="dietML",
-    )
-    if res.shap_ranking is not None:
-        res.shap_ranking.to_csv(
-            os.path.join(opts.output_dir, "ml_analysis", "shap_ranking.csv"),
-            index=False,
-        )
+    res = run_dietml(df, **_dietml_kwargs(opts))
+    _write_ml_sinks(res, opts, program="dietML")
     print(res.full_results.to_string(index=False))
 
 

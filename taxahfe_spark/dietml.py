@@ -59,14 +59,32 @@ def _hash_rank_col(id_col: str, seed: int, hash_fn: str) -> F.Column:
     return F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).cast("string")
 
 
-def _strata_col(label_col: str, feature_type: str, breaks: int = 4) -> F.Column:
+def _quantile_bucket_expr(
+    df: DataFrame, col: str, breaks: int = 4, rel_err: float = 0.001
+) -> F.Column:
+    """Quantile-bin a numeric column WITHOUT a global unpartitioned window.
+
+    approxQuantile edges -> a chain of (col > edge) sums. This is both the
+    scale-safe form (an unpartitioned ntile() funnels every row through ONE
+    task) and the more faithful one: rsample/recipes bin strata by quantile
+    CUT POINTS (equal values share a bin), not by equal-count ntile.
+    """
+    from functools import reduce
+
+    qs = [i / breaks for i in range(1, breaks)]
+    edges = sorted(set(df.approxQuantile(col, qs, rel_err)))
+    c = F.col(col).cast("double")
+    return reduce(
+        lambda acc, e: acc + (c > F.lit(float(e))).cast("int"), edges, F.lit(0)
+    )
+
+
+def _strata_col(df: DataFrame, label_col: str, feature_type: str, breaks: int = 4) -> F.Column:
     """Stratification key: the label itself for factors; quantile bins for
     numeric responses (rsample::initial_split(strata=...) default breaks=4)."""
     if feature_type == "factor":
         return F.col(label_col).cast("string")
-    return F.ntile(breaks).over(Window.orderBy(F.col(label_col).cast("double"))).cast(
-        "string"
-    )
+    return _quantile_bucket_expr(df, label_col, breaks).cast("string")
 
 
 def stratified_split(
@@ -82,7 +100,7 @@ def stratified_split(
     first ceil(train_frac * n) go to train (reference rsample initial_split,
     cmd/taxa_hfe_ml.R:52-54). A pure function of (id, seed) — stable across
     cluster sizes and reruns."""
-    strata = _strata_col(label_col, feature_type)
+    strata = _strata_col(df, label_col, feature_type)
     d = df.withColumn("__stratum", strata)
     w = Window.partitionBy("__stratum").orderBy(
         _hash_rank_col(id_col, seed, hash_fn).asc(), F.col(id_col).asc()
@@ -108,7 +126,7 @@ def fold_assignments(
     .R:676-684): one row per (id, repeat) with a fold in [0, folds); within
     each stratum the hash ranking deals ids round-robin so folds are
     balanced per class."""
-    strata = _strata_col(label_col, feature_type)
+    strata = _strata_col(train, label_col, feature_type)
     d = train.select(id_col, strata.alias("__stratum"))
     out = None
     for r in range(repeats):
@@ -258,7 +276,7 @@ def _info_gain_scores(
     lab = (
         F.col(label_col).cast("string")
         if feature_type == "factor"
-        else F.ntile(4).over(Window.orderBy(F.col(label_col).cast("double"))).cast("string")
+        else _quantile_bucket_expr(train, label_col, 4).cast("string")
     )
     # one projection carrying features AND label (row alignment by
     # construction, not by id-zipping two plans)
@@ -545,12 +563,44 @@ def _predict_frame(
         if "probability" in pred.columns:
             from pyspark.ml.functions import vector_to_array
 
-            out = out.withColumn("prob", vector_to_array("probability")[0])
+            out = out.withColumn("__probs", vector_to_array("probability"))
+            out = out.withColumn("prob", F.col("__probs")[0])
         return out
     return pred.select(
         F.col(label_col).cast("double").alias("truth"),
         F.col("prediction").cast("double").alias("estimate"),
     )
+
+
+def _raw_predictions_pdf(
+    pred: DataFrame, feature_type: str, classes: list[str] | None, tag: str
+) -> pd.DataFrame:
+    """One split's slice of raw_predictions.csv (reference
+    lib/diet_ml_funcs.R:991-1013): classification -> .pred_class + one
+    .pred_<class> probability column per level; regression -> .pred. The
+    frame is sample-count-sized by definition (it IS the per-row prediction
+    export) — a reference-parity artifact, not a 100 TB sink."""
+    if feature_type == "factor":
+        cols = [F.col("estimate").alias(".pred_class"), F.col("truth")]
+        if "__probs" in pred.columns:
+            cols = [
+                *[
+                    F.col("__probs")[i].alias(f".pred_{c}")
+                    for i, c in enumerate(classes)
+                ],
+                *cols,
+            ]
+        pdf = pred.select(*cols).toPandas()
+        pdf = pdf.rename(columns={"truth": "feature_of_interest"})
+    else:
+        pdf = (
+            pred.select(
+                F.col("truth").alias("feature_of_interest"),
+                F.col("estimate").alias(".pred"),
+            ).toPandas()
+        )
+    pdf[".model_input_type"] = tag
+    return pdf
 
 
 def _score(
@@ -613,6 +663,10 @@ class DietMLResult:
     collinearity_audit: pd.DataFrame
     recipe: Recipe
     shap_ranking: pd.DataFrame | None = None  # M11/W3 mean-|SHAP| table
+    # S8 artifacts: per-row train+test predictions (raw_predictions.csv) and
+    # the null-model metric row (dummy_model_results.csv)
+    raw_predictions: pd.DataFrame | None = None
+    null_metrics: dict[str, float] = field(default_factory=dict)
 
 
 def run_dietml(
@@ -637,6 +691,7 @@ def run_dietml(
     split_col: str | None = None,
     shap: bool = False,
     shap_top_k: int = 10,
+    parallel_workers: int = 1,
 ) -> DietMLResult:
     """End-to-end dietML run (reference cmd/diet_ml.R:23-85 ->
     lib/diet_ml_funcs.R:16-111): split -> collinearity -> recipe -> CV grid
@@ -646,6 +701,21 @@ def run_dietml(
     reference's create_data_split_obj path (lib/diet_ml_funcs.R:664-674),
     used by taxa_hfe_ml so dietML honors the SAME leakage-aware split the
     tree competition saw rather than re-splitting.
+
+    ``parallel_workers``: concurrent (repeat, fold) fits per candidate — the
+    Spark analog of the reference's PSOCK resample cluster (--parallel_workers,
+    lib/diet_ml_funcs.R:744-748). Fits are submitted from a thread pool
+    against the cached CV frame; Spark's scheduler interleaves the jobs.
+    Seeds derive from (candidate, repeat) only, so results are IDENTICAL for
+    any worker count.
+
+    Leakage contract note: the recipe (collinearity, center/scale, zv, corr,
+    info-gain) is estimated ONCE on the full training split and reused in
+    every CV fold, whereas tidymodels re-preps per resample. CV scores are
+    therefore slightly optimistic in the same way for every candidate; the
+    train/test boundary itself is never crossed. This is the documented
+    approximation that keeps preprocessing one Spark job instead of
+    folds x repeats jobs.
     """
     metric = metric or ("bal_accuracy" if feature_type == "factor" else "rmse")
     feature_cols = [
@@ -696,20 +766,34 @@ def run_dietml(
     rows = []
     best_score, since_best = None, 0
     t0 = time.time()
+
+    def fit_one(params: dict, ci: int, r: int, f: int) -> float:
+        # one (id, fold) row per repeat: restrict to THIS repeat's
+        # dealing, then hold out fold f. Seed depends on (candidate,
+        # repeat) only — layout- and worker-count-invariant.
+        tr = train_cv.filter((F.col("repeat") == r) & (F.col("fold") != f))
+        va = train_cv.filter((F.col("repeat") == r) & (F.col("fold") == f))
+        est = _estimator(model, feature_type, params, seed + 31 * ci + r)
+        fitted = est.fit(tr)
+        pred = _predict_frame(fitted, va, label_col, feature_type, classes)
+        return _score(pred, feature_type, classes)[metric]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = (
+        ThreadPoolExecutor(max_workers=int(parallel_workers))
+        if parallel_workers and int(parallel_workers) > 1
+        else None
+    )
     for ci, params in enumerate(candidates):
         if model == "rf":
             params = {**params, "num_trees": num_trees}
-        scores = []
-        for r in range(cv_repeats):
-            for f in range(folds):
-                # one (id, fold) row per repeat: restrict to THIS repeat's
-                # dealing, then hold out fold f
-                tr = train_cv.filter((F.col("repeat") == r) & (F.col("fold") != f))
-                va = train_cv.filter((F.col("repeat") == r) & (F.col("fold") == f))
-                est = _estimator(model, feature_type, params, seed + 31 * ci + r)
-                fitted = est.fit(tr)
-                pred = _predict_frame(fitted, va, label_col, feature_type, classes)
-                scores.append(_score(pred, feature_type, classes)[metric])
+        rf_pairs = [(r, f) for r in range(cv_repeats) for f in range(folds)]
+        if pool is not None:
+            futs = [pool.submit(fit_one, params, ci, r, f) for r, f in rf_pairs]
+            scores = [fu.result() for fu in futs]
+        else:
+            scores = [fit_one(params, ci, r, f) for r, f in rf_pairs]
         mean_metric = float(np.nanmean(scores))
         rows.append({"params": params, "mean_metric": mean_metric})
         better = (
@@ -722,6 +806,8 @@ def run_dietml(
             since_best += 1
         if since_best >= tune_stop or (time.time() - t0) > tune_time_min * 60:
             break
+    if pool is not None:
+        pool.shutdown(wait=False)
     cv_results = pd.DataFrame(rows)
     best_params = select_by_pct_loss(cv_results, metric, pct_loss, model)
 
@@ -734,6 +820,16 @@ def run_dietml(
     final_m = _score(test_pred, feature_type, classes)
     train_pred = _predict_frame(final, train_p, label_col, feature_type, classes)
     train_m = _score(train_pred, feature_type, classes)
+
+    # S8: raw train+test predictions (reference bind_rows + augment,
+    # lib/diet_ml_funcs.R:991-1013)
+    raw_predictions = pd.concat(
+        [
+            _raw_predictions_pdf(train_pred, feature_type, classes, "train"),
+            _raw_predictions_pdf(test_pred, feature_type, classes, "test"),
+        ],
+        ignore_index=True,
+    )
 
     # J7: outer merge final vs null on metric name
     names = sorted(set(final_m) | set(null_m))
@@ -766,6 +862,8 @@ def run_dietml(
         collinearity_audit=audit,
         recipe=recipe,
         shap_ranking=shap_ranking,
+        raw_predictions=raw_predictions,
+        null_metrics=null_m,
     )
 
 
@@ -783,15 +881,51 @@ def append_results_csv(result: DietMLResult, path: str, seed: int, program: str)
     df.to_csv(path, mode="a", header=header, index=False)
 
 
+def write_raw_predictions_csv(result: DietMLResult, path: str) -> None:
+    """S8: raw_predictions.csv (reference lib/diet_ml_funcs.R:991-1013) —
+    per-row train+test predictions, OVERWRITE semantics like the reference's
+    write_csv (not append)."""
+    import os
+
+    if result.raw_predictions is None:
+        return
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    result.raw_predictions.to_csv(path, index=False)
+
+
+def append_dummy_results_csv(result: DietMLResult, path: str, seed: int) -> None:
+    """S8: dummy_model_results.csv (reference run_null_model,
+    lib/diet_ml_funcs.R:410-412) — one appended row per run:
+    (seed, bal_accuracy, f_meas, accuracy) or (seed, mae, rmse, ccc)."""
+    import os
+
+    row = {"seed": seed, **result.null_metrics}
+    df = pd.DataFrame([row])
+    header = not os.path.exists(path)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    df.to_csv(path, mode="a", header=header, index=False)
+
+
 def summarized_levels(
     resolved: DataFrame,
     state: pd.DataFrame,
     metadata: DataFrame,
     levels: list[int] | None = None,
+    split_assign: DataFrame | None = None,
+    csv_dir: str | None = None,
+    csv_seed: int | None = None,
     **dietml_kwargs,
 ) -> dict[int, DietMLResult]:
     """M12: run dietML once per tree depth on that depth's filter-passing
-    features (reference method_levels, lib/methods.R:144-181)."""
+    features (reference method_levels, lib/methods.R:144-181 +
+    cmd/taxa_hfe_ml.R:124-186).
+
+    ``split_assign``: optional (subject_id, is_train) frame carrying the
+    ORIGINAL top-level split — the reference filters each level's matrix by
+    the train/test subject sets from the main run so every depth honors the
+    same leakage boundary. ``csv_dir``/``csv_seed``: when set, each level's
+    matrix is saved as summarized_level_{level}_{seed}.csv first (the
+    reference's per-level export)."""
     from taxahfe_spark.naming import clean_entity_expr, clean_name
 
     passed = state[state["passed_filters"]]
@@ -812,5 +946,19 @@ def summarized_levels(
         )
         meta = metadata.withColumn("subject_id", clean_entity_expr("subject_id"))
         df = mat.join(F.broadcast(meta), "subject_id", "inner")
-        out[int(lvl)] = run_dietml(df, **dietml_kwargs)
+        if csv_dir is not None:
+            import os
+
+            os.makedirs(csv_dir, exist_ok=True)
+            df.toPandas().to_csv(
+                os.path.join(
+                    csv_dir, f"summarized_level_{int(lvl)}_{csv_seed}.csv"
+                ),
+                index=False,
+            )
+        kwargs = dict(dietml_kwargs)
+        if split_assign is not None:
+            df = df.join(split_assign, "subject_id", "inner")
+            kwargs["split_col"] = "is_train"
+        out[int(lvl)] = run_dietml(df, **kwargs)
     return out

@@ -51,6 +51,7 @@ def taxa_hfe_ml(
     filter_mean_abundance: float = 0.0,
     train_frac: float = 0.8,
     seed: int = 42,
+    k_splits: int = 3,
 ) -> tuple[DataFrame, DataFrame, pd.DataFrame]:
     """Returns (train_matrix, test_matrix, train_state).
 
@@ -71,6 +72,7 @@ def taxa_hfe_ml(
         params=params,
         filter_prevalence=filter_prevalence,
         filter_mean_abundance=filter_mean_abundance,
+        k_splits=k_splits,
     )
     train_matrix = winner_feature_matrix(
         resolved_train, state, metadata=train_meta,

@@ -30,9 +30,21 @@ def read_metadata(
     subject_identifier: str,
     label: str,
     sep: str | None = None,
+    limit_covariates: bool = True,
+    feature_type: str | None = None,
 ) -> DataFrame:
     """CSV/TSV metadata scan (reference lib/tree.R:49-138): rename the id and
-    label columns to canonical names, clean names, drop NA rows."""
+    label columns to canonical names, clean names, drop NA rows.
+
+    ``limit_covariates`` (reference lib/tree.R:100-107, on for taxa_hfe /
+    taxa_hfe_ml, off for diet_ml): warn past 8 covariates — taxaHFE merely
+    appends covariates to the RF design, so many covariates change the
+    competition without being its purpose. ``feature_type`` enables the
+    response-shape diagnostics: the reference logs the level count, and a
+    numeric-valued label declared ``factor`` silently becomes one class PER
+    VALUE, which is almost never intended — warn loudly."""
+    import warnings
+
     if sep is None:
         sep = "\t" if path.endswith((".tsv", ".txt")) else ","
     df = spark.read.option("header", True).option("sep", sep).csv(path)
@@ -40,7 +52,29 @@ def read_metadata(
         {subject_identifier: "subject_id", label: "feature_of_interest"}
     )
     df = clean_names_df(df, skip=("subject_id", "feature_of_interest"))
-    return df.na.drop()
+    df = df.na.drop()
+    if limit_covariates and len(df.columns) > 10:
+        warnings.warn(
+            "You have selected quite a few covariates (this warning shows at "
+            "> 8 covariates). TaxaHFE merely adds the covariates to the RF "
+            "models; its primary purpose is hierarchical feature engineering."
+        )
+    if feature_type == "factor":
+        n_levels = df.select("feature_of_interest").distinct().count()
+        numeric_like = (
+            df.filter(
+                F.col("feature_of_interest").cast("double").isNotNull()
+            ).count()
+            == df.count()
+        )
+        if numeric_like and n_levels > 10:
+            warnings.warn(
+                f"feature_type=factor with a numeric-valued label produces "
+                f"one class PER VALUE ({n_levels} levels). If the response "
+                "is continuous, use -t numeric, or --random_effects for "
+                "kmeans binning (reference lib/tree.R:114-131)."
+            )
+    return df
 
 
 def read_hierarchical_data(
@@ -144,8 +178,12 @@ def taxa_hfe(
     filter_mean_abundance: float = 0.0,
     from_reference_levels: bool = False,
     resume_dir: str | None = None,
+    k_splits: int = 3,
 ) -> tuple[DataFrame, pd.DataFrame]:
     """Run the full HFE collapse.
+
+    ``k_splits``: kmeans bin count for discretizing a numeric response under
+    random_effects (reference -k/--k_splits, lib/options.R:30 + tree.R:129).
 
     ``resume_dir``: commit per-level competition state there and skip
     completed levels on restart (see TreeCompetition.run).
@@ -222,7 +260,7 @@ def taxa_hfe(
                 "(reference lib/tree.R:116-119)"
             )
         if params.feature_type == "numeric":
-            meta_pdf = discretize_label(meta_pdf, seed=params.seed)
+            meta_pdf = discretize_label(meta_pdf, k=int(k_splits), seed=params.seed)
             params = replace(params, feature_type="factor")
         # np.unique codes sort by value -> the RE design-matrix row order is
         # a pure function of the data, not of metadata row order
@@ -241,6 +279,37 @@ def taxa_hfe(
     )
     state = comp.run(resume_dir=resume_dir)
     return resolved, state
+
+
+def levels_tree(
+    metadata: DataFrame,
+    hierarchical_long: DataFrame,
+    filter_prevalence: float = 0.01,
+    filter_mean_abundance: float = 0.0,
+) -> tuple[DataFrame, pd.DataFrame]:
+    """Full-data tree with filter flags and NO competition — the input for
+    summarized-levels mode (reference method_levels, lib/methods.R:144-181:
+    build_tree over ALL subjects, per-level summaries of filter-passing
+    features). Returns (resolved long frame, flags pandas frame shaped like
+    a competition state with passed_filters)."""
+    meta_pdf = metadata.select("subject_id").toPandas()
+    meta_pdf["subject_id"] = meta_pdf["subject_id"].map(clean_entity)
+    spark = metadata.sparkSession
+    ids_df = spark.createDataFrame(
+        [(e,) for e in meta_pdf["subject_id"]], ["entity_id"]
+    )
+    long = hierarchical_long.withColumn(
+        "entity_id", clean_entity_expr("entity_id")
+    ).join(F.broadcast(ids_df), "entity_id", "left_semi")
+    resolved = hierarchical_rollup(long)
+    n_entities = resolved.select("entity_id").distinct().count()
+    scratch = getattr(resolved, "_taxahfe_scratch", None)
+    if scratch is not None:
+        scratch.unpersist()
+    flags = feature_filter_flags(
+        resolved, n_entities, filter_prevalence, filter_mean_abundance
+    )
+    return resolved, flags.select("path", "level", "passed_filters").toPandas()
 
 
 def winner_feature_matrix(

@@ -329,6 +329,122 @@ def test_summarized_levels_mode(spark):
         assert "accuracy" in set(res.full_results[".metric"])
 
 
+def test_parallel_workers_identical_results(spark):
+    """--parallel_workers only changes scheduling: seeds derive from
+    (candidate, repeat), so cv_results and best_params are IDENTICAL for any
+    worker count (the reference's PSOCK resample parallelism analog)."""
+    rows = [
+        (f"s{i}", float(i % 7), float((i * 3) % 5), float(2.0 * (i % 7) + 0.1 * i))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "subject_id string, a double, b double, feature_of_interest double"
+    )
+    kw = dict(
+        feature_type="numeric", model="lasso", folds=3, cv_repeats=2,
+        tune_length=3, metric="rmse", seed=11,
+    )
+    r1 = run_dietml(df, parallel_workers=1, **kw)
+    r4 = run_dietml(df, parallel_workers=4, **kw)
+    pd.testing.assert_frame_equal(
+        r1.cv_results.drop(columns=["params"]),
+        r4.cv_results.drop(columns=["params"]),
+    )
+    assert list(r1.cv_results["params"]) == list(r4.cv_results["params"])
+    assert r1.best_params == r4.best_params
+
+
+def test_raw_predictions_and_null_metrics_artifacts(spark, tmp_path):
+    """S8: raw_predictions (train+test rows, .pred_* columns) and the
+    dummy_model_results row exist with reference-shaped schemas."""
+    from taxahfe_spark.dietml import (
+        append_dummy_results_csv,
+        write_raw_predictions_csv,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (f"s{i}", float((3.0 if i % 2 else 0.5) + rng.normal(0, 0.3)),
+         "pos" if i % 2 else "neg")
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows, "subject_id string, sig double, feature_of_interest string"
+    )
+    res = run_dietml(
+        df, feature_type="factor", model="rf", folds=2, cv_repeats=1,
+        tune_length=1, num_trees=10, seed=5,
+    )
+    rp = res.raw_predictions
+    assert rp is not None and len(rp) == 80  # every train + test row
+    assert set(rp[".model_input_type"]) == {"train", "test"}
+    assert {".pred_class", ".pred_neg", ".pred_pos", "feature_of_interest"} <= set(
+        rp.columns
+    )
+    # probabilities are probabilities
+    assert ((rp[".pred_neg"] + rp[".pred_pos"]).round(6) == 1.0).all()
+    assert set(res.null_metrics) == {"bal_accuracy", "f_meas", "accuracy"}
+
+    write_raw_predictions_csv(res, str(tmp_path / "raw_predictions.csv"))
+    append_dummy_results_csv(res, str(tmp_path / "dummy_model_results.csv"), seed=5)
+    append_dummy_results_csv(res, str(tmp_path / "dummy_model_results.csv"), seed=5)
+    got = pd.read_csv(tmp_path / "raw_predictions.csv")
+    assert len(got) == 80
+    dummy = pd.read_csv(tmp_path / "dummy_model_results.csv")
+    assert list(dummy.columns) == ["seed", "bal_accuracy", "f_meas", "accuracy"]
+    assert len(dummy) == 2  # append semantics
+
+
+def test_raw_predictions_regression_schema(spark):
+    rows = [(f"s{i}", float(i), float(2 * i + 1)) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "subject_id string, x double, feature_of_interest double"
+    )
+    res = run_dietml(
+        df, feature_type="numeric", model="ridge", folds=2, cv_repeats=1,
+        tune_length=1, metric="rmse", seed=3,
+    )
+    rp = res.raw_predictions
+    assert list(rp.columns) == ["feature_of_interest", ".pred", ".model_input_type"]
+    assert set(res.null_metrics) == {"mae", "rmse", "ccc"}
+
+
+def test_summarized_levels_split_and_csv(spark, tmp_path):
+    """M12 CLI contract: per-level CSV export + the ORIGINAL train/test
+    split honored at every depth (reference cmd/taxa_hfe_ml.R:124-186)."""
+    from pyspark.sql import functions as F
+
+    from taxahfe_spark.operators.filters import feature_filter_flags
+    from taxahfe_spark.taxonomy import hierarchical_rollup
+
+    rng = np.random.default_rng(12)
+    rows, meta_rows = [], []
+    for i in range(60):
+        lab = "hi" if i % 2 else "lo"
+        meta_rows.append((f"s{i}", lab))
+        base = 4.0 if lab == "hi" else 1.0
+        rows.append(("k__a|p__x", f"s{i}", float(base + rng.normal(0, 0.2))))
+        rows.append(("k__a|p__y", f"s{i}", float(rng.normal(2, 0.5))))
+    long = spark.createDataFrame(rows, "clade_name string, entity_id string, value double")
+    meta = spark.createDataFrame(meta_rows, "subject_id string, feature_of_interest string")
+    resolved = hierarchical_rollup(long)
+    flags = feature_filter_flags(resolved, 60, 0.01, 0.0)
+    state = flags.select("path", "level", "passed_filters").toPandas()
+    split_assign = meta.select(
+        "subject_id", (F.col("subject_id").substr(2, 9).cast("int") < 48).alias("is_train")
+    )
+    out = summarized_levels(
+        resolved, state, meta,
+        split_assign=split_assign, csv_dir=str(tmp_path), csv_seed=77,
+        feature_type="factor", model="rf", folds=2, cv_repeats=1,
+        tune_length=1, num_trees=10, seed=3,
+    )
+    assert set(out) == {1, 2}
+    for lvl in (1, 2):
+        csv = pd.read_csv(tmp_path / f"summarized_level_{lvl}_77.csv")
+        assert len(csv) == 60 and "is_train" not in csv.columns
+
+
 def test_shap_mean_abs_ranks_signal_feature(spark):
     """M11: permutation SHAP on a fitted model must rank the real signal
     feature first and give near-zero attribution to noise; phi sums
