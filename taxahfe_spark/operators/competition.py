@@ -94,6 +94,16 @@ class CompetitionParams:
     # "auto" | "broadcast" | "shuffle" (see module docstring)
     vector_strategy: str = "auto"
     broadcast_max_bytes: int = 128 * 1024 * 1024
+    # Entity-dimension bound. The competition design matrix is inherently
+    # n_entities wide (the reference's RF is fit over all samples), so the
+    # label/covariate context broadcast is n_entities x 8B x (1 + n_cov) and
+    # each task materializes an (n_entities x competitors) dense block: at
+    # ~10^8+ entities that ceiling is real. design_sample_frac < 1 applies a
+    # SEEDED, LAYOUT-INVARIANT hash subsample of entity positions to every
+    # design (the reference's ranger sample.fraction analog, applied once,
+    # consistently, so all competitors see the same rows). 1.0 = exact
+    # reference behavior, bit-identical to the pre-option code path.
+    design_sample_frac: float = 1.0
 
 
 @dataclass
@@ -115,6 +125,7 @@ _STAGE_SCHEMA = T.StructType(
     [
         T.StructField("competition_id", T.StringType()),
         T.StructField("path", T.StringType()),
+        T.StructField("chunk_lo", T.IntegerType()),
         T.StructField("corr", T.DoubleType()),
         T.StructField("importance", T.DoubleType()),
     ]
@@ -124,6 +135,19 @@ _STAGE_SCHEMA = T.StructType(
 def group_seed(seed: int, key: str) -> int:
     """Partition-layout-invariant per-group seed."""
     return (seed * 1_000_003 + zlib.crc32(key.encode())) % (2**31)
+
+
+def _to_dense(idxs, vals, n_entities: int, remap: np.ndarray | None) -> np.ndarray:
+    """Sparse (idxs, vals) -> dense design column, optionally through the
+    design_sample_frac position remap (original position -> kept position or
+    -1)."""
+    if remap is None:
+        return sparse_to_dense(idxs, vals, n_entities)
+    sel = remap[np.asarray(idxs, dtype=np.int64)]
+    m = sel >= 0
+    out = np.zeros(n_entities)
+    out[sel[m]] = np.asarray(vals, dtype=np.float64)[m]
+    return out
 
 
 def _corr_with_parent(mat: np.ndarray, method: str) -> np.ndarray:
@@ -313,9 +337,12 @@ def _run_group(
 ) -> tuple[list[str], list[float | None], list[float | None]]:
     """Fused corr + prune + forest pass for one competition x chunk-range.
 
-    Returns parallel (path, corr, importance) row lists. ``names`` is the
-    deterministic competitor order: parent first (when present), then sorted
-    descendants — layout-stable in every delivery strategy.
+    Returns parallel (path, corr, importance) row lists — ONE importance row
+    per competitor carrying the sum over this range's chunk fits (summed
+    HERE, in ascending chunk order, so the cross-range reduction on the
+    driver stays bit-deterministic regardless of task scheduling). ``names``
+    is the deterministic competitor order: parent first (when present), then
+    sorted descendants — layout-stable in every delivery strategy.
     """
     out_paths: list[str] = []
     out_corr: list[float | None] = []
@@ -343,11 +370,18 @@ def _run_group(
     run_fit = make_importance_runner(
         Xf, label, cov, re_individual, re_time, params
     )
+    imp_sum = np.zeros(len(competitors))
+    imp_cnt = np.zeros(len(competitors), dtype=np.int64)
     for chunk in range(chunk_lo, chunk_hi):
         imp = run_fit(group_seed(params.seed, parent_key) + 7919 * chunk)
-        out_paths.extend(competitors)
-        out_corr.extend([None] * len(competitors))
-        out_imp.extend(float(v) for v in imp)
+        m = ~np.isnan(imp)
+        imp_sum[m] += imp[m]
+        imp_cnt[m] += 1
+    out_paths.extend(competitors)
+    out_corr.extend([None] * len(competitors))
+    out_imp.extend(
+        float(s) if c else None for s, c in zip(imp_sum, imp_cnt)
+    )
     return out_paths, out_corr, out_imp
 
 
@@ -358,16 +392,16 @@ def make_broadcast_stage_udf(bc_vectors, bc_ctx, params: CompetitionParams):
 
     def fn(batches):
         vecs_sparse = bc_vectors.value
-        label, cov, re_ind, re_time = bc_ctx.value
+        label, cov, re_ind, re_time, remap = bc_ctx.value
         n_entities = len(label)
         for pdf in batches:
-            rows_p, rows_c, rows_i, rows_id = [], [], [], []
+            rows_p, rows_c, rows_i, rows_id, rows_lo = [], [], [], [], []
             for row in pdf.itertuples():
                 names = ([row.parent_path] if row.parent_path else []) + sorted(
                     p for p in row.paths if p != row.parent_path
                 )
                 dense = {
-                    n: sparse_to_dense(*vecs_sparse[n], n_entities) for n in names
+                    n: _to_dense(*vecs_sparse[n], n_entities, remap) for n in names
                 }
                 paths, corrs, imps = _run_group(
                     row.parent_path or None, names, dense,
@@ -379,10 +413,12 @@ def make_broadcast_stage_udf(bc_vectors, bc_ctx, params: CompetitionParams):
                 rows_c.extend(corrs)
                 rows_i.extend(imps)
                 rows_id.extend([row.competition_id] * len(paths))
+                rows_lo.extend([int(row.chunk_lo)] * len(paths))
             yield pd.DataFrame(
                 {
                     "competition_id": rows_id,
                     "path": rows_p,
+                    "chunk_lo": pd.array(rows_lo, dtype="int32"),
                     "corr": pd.array(rows_c, dtype="float64"),
                     "importance": pd.array(rows_i, dtype="float64"),
                 }
@@ -397,13 +433,13 @@ def make_shuffle_stage_udf(bc_ctx, params: CompetitionParams):
     sparse vectors (joined in, never via the driver)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        label, cov, re_ind, re_time = bc_ctx.value
+        label, cov, re_ind, re_time, remap = bc_ctx.value
         n_entities = len(label)
         first = pdf.iloc[0]
         parent = first["parent_path"] if pd.notna(first["parent_path"]) else None
         chunk_lo, chunk_hi = int(first["chunk_lo"]), int(first["chunk_hi"])
         dense = {
-            r.path: sparse_to_dense(r.idxs, r.vals, n_entities)
+            r.path: _to_dense(r.idxs, r.vals, n_entities, remap)
             for r in pdf.itertuples()
         }
         names = ([parent] if parent else []) + sorted(
@@ -417,6 +453,7 @@ def make_shuffle_stage_udf(bc_ctx, params: CompetitionParams):
             {
                 "competition_id": [first["competition_id"]] * len(paths),
                 "path": paths,
+                "chunk_lo": pd.array([chunk_lo] * len(paths), dtype="int32"),
                 "corr": pd.array(corrs, dtype="float64"),
                 "importance": pd.array(imps, dtype="float64"),
             }
@@ -453,12 +490,39 @@ class TreeCompetition:
             )
         self.spark = vectors.sparkSession
         self.params = params
+        # design_sample_frac < 1: seeded hash subsample of entity POSITIONS,
+        # applied to label/cov/RE arrays here and to every sparse vector at
+        # densify time via the remap (see CompetitionParams docstring). A
+        # pure function of (seed, position) — layout-invariant, identical
+        # across vector strategies and reruns.
+        remap = None
+        if params.design_sample_frac < 1.0:
+            n0 = len(label)
+            cut = params.design_sample_frac * 2**32
+            keep = np.fromiter(
+                (
+                    zlib.crc32(f"{params.seed}:e{i}".encode()) % 2**32 < cut
+                    for i in range(n0)
+                ),
+                dtype=bool,
+                count=n0,
+            )
+            if keep.sum() < 2:  # degenerate frac on tiny data: keep all
+                keep[:] = True
+            remap = np.full(n0, -1, dtype=np.int64)
+            remap[np.flatnonzero(keep)] = np.arange(int(keep.sum()))
+            label = label[keep]
+            covariates = covariates[keep] if covariates is not None else None
+            re_individual = (
+                re_individual[keep] if re_individual is not None else None
+            )
+            re_time = re_time[keep] if re_time is not None else None
         self.label = label
         self.covariates = covariates
         # label/covariates/RE arrays are one-per-entity (not per-node): ship
         # once per executor via an explicit broadcast, not per-task closures
         self.bc_ctx = self.spark.sparkContext.broadcast(
-            (label, covariates, re_individual, re_time)
+            (label, covariates, re_individual, re_time, remap)
         )
 
         strategy = params.vector_strategy
@@ -528,9 +592,20 @@ class TreeCompetition:
     # -- resume (north rule: restart from per-level checkpoints) ------------
 
     def _run_fingerprint(self) -> str:
-        """Identity of this competition run: params + node universe. A
-        resume dir holding a different fingerprint is ignored, never mixed."""
+        """Identity of this competition run: params + node universe + the
+        DESIGN DATA (label / covariates / RE arrays). A resume dir holding a
+        different fingerprint is ignored, never mixed — without the data
+        hash, re-pointing resume_dir at a run whose metadata changed under
+        an unchanged taxonomy would silently mix stale winners (ADVICE r2)."""
         import hashlib
+
+        def arr_bytes(a) -> bytes:
+            if a is None:
+                return b"none"
+            a = np.asarray(a)
+            if a.dtype.kind in "OUS":  # strings / objects: join repr
+                return "\x1f".join(map(str, a.ravel())).encode()
+            return np.ascontiguousarray(a).tobytes()
 
         p = self.params
         key = "|".join(
@@ -538,9 +613,14 @@ class TreeCompetition:
                 str(p.seed), str(p.nperm), str(p.corr_threshold), p.corr_method,
                 p.feature_type, p.competition_mode, str(p.num_trees),
                 str(p.lowest_level), str(p.max_level), str(p.random_effects),
+                str(p.design_sample_frac),
             ]
         )
         h = hashlib.sha256(key.encode())
+        label, cov, re_ind, re_time, _ = self.bc_ctx.value
+        for a in (label, cov, re_ind, re_time):
+            h.update(arr_bytes(a))
+            h.update(b"\x00")
         for path in sorted(self.nodes):
             h.update(path.encode())
             h.update(b"\x00")
@@ -646,8 +726,11 @@ class TreeCompetition:
         competition key -> {path: value}. Importances are averaged over
         n_chunks fits."""
         ranges = self._chunk_ranges(len(comps), n_chunks)
+        # "\x1f" separates the competition key from the chunk-range suffix —
+        # a control char that cannot appear in taxonomy paths, so the
+        # Spark-side substring_index split-back is unambiguous
         rows_in = [
-            (f"{key}#{lo}", parent, sorted(set(paths) | ({parent} if parent else set())), lo, hi)
+            (f"{key}\x1f{lo}", parent, sorted(set(paths) | ({parent} if parent else set())), lo, hi)
             for key, (parent, paths) in comps.items()
             for (lo, hi) in ranges
         ]
@@ -662,7 +745,7 @@ class TreeCompetition:
                 1, min(len(rows_in), self.spark.sparkContext.defaultParallelism * 2)
             )
             fn = make_broadcast_stage_udf(self.bc_vectors, self.bc_ctx, self.params)
-            rows = adf.repartition(n_part).mapInPandas(fn, _STAGE_SCHEMA).collect()
+            stage = adf.repartition(n_part).mapInPandas(fn, _STAGE_SCHEMA)
         else:
             assign = [
                 (cid, parent, path, lo, hi)
@@ -676,31 +759,50 @@ class TreeCompetition:
             )
             joined = adf.join(self.vectors, "path")
             fn = make_shuffle_stage_udf(self.bc_ctx, self.params)
-            rows = (
-                joined.groupBy("competition_id")
-                .applyInPandas(fn, _STAGE_SCHEMA)
-                .collect()
+            stage = joined.groupBy("competition_id").applyInPandas(fn, _STAGE_SCHEMA)
+        # Pre-aggregate ON THE CLUSTER before collecting: each task already
+        # summed its own chunk range (in ascending chunk order), so the
+        # stage output is one row per (competitor x range) and this groupBy
+        # collapses it to ONE collected row per (competition, competitor) —
+        # a driver-side average over raw per-chunk rows would collect
+        # nperm-fold more (x400 at the reference's super filter). The
+        # per-range partials come back as a (chunk_lo, partial) list and are
+        # reduced IN CHUNK ORDER on the driver, so the final float sum is
+        # bit-identical regardless of task scheduling, partitioning, or
+        # vector strategy. A TRUE NaN correlation — which must NOT prune —
+        # is masked to null so it stays absent from the corr dict.
+        agg_rows = (
+            stage.groupBy(
+                F.substring_index("competition_id", "\x1f", 1).alias("key"), "path"
             )
+            .agg(
+                F.collect_list(F.struct("chunk_lo", "importance")).alias("parts"),
+                F.max(F.when(~F.isnan("corr"), F.col("corr"))).alias("corr"),
+            )
+            .collect()
+        )
         _tlog(
             f"fused stage [{self.strategy}]: {len(comps)} comps x {n_chunks} "
             f"chunks in {len(rows_in)} tasks, {time.time()-t0:.2f}s"
         )
-        # Arrow ships the float64 row lists with NaN standing in for "absent"
-        # (a TRUE NaN correlation is indistinguishable, and by the reference's
-        # rule it must not prune — exactly what dropping it here does)
         corrs: dict[str, dict[str, float]] = {}
-        sums: dict[str, dict[str, float]] = {}
-        for r in rows:
-            key = r["competition_id"].rsplit("#", 1)[0]
-            cv, iv = r["corr"], r["importance"]
-            if cv is not None and not np.isnan(cv):
-                corrs.setdefault(key, {})[r["path"]] = cv
-            if iv is not None and not np.isnan(iv):
-                sums.setdefault(key, {}).setdefault(r["path"], 0.0)
-                sums[key][r["path"]] += iv
-        imps = {
-            key: {p_: v / n_chunks for p_, v in d.items()} for key, d in sums.items()
-        }
+        imps: dict[str, dict[str, float]] = {}
+        for r in agg_rows:
+            if r["corr"] is not None:
+                corrs.setdefault(r["key"], {})[r["path"]] = r["corr"]
+            parts = sorted(
+                (
+                    (e["chunk_lo"], e["importance"])
+                    for e in r["parts"]
+                    if e["importance"] is not None
+                    and not np.isnan(e["importance"])
+                ),
+            )
+            if parts:
+                total = 0.0
+                for _, v in parts:
+                    total += v
+                imps.setdefault(r["key"], {})[r["path"]] = total / n_chunks
         return corrs, imps
 
     # -- level competition ---------------------------------------------------

@@ -153,6 +153,58 @@ def test_deterministic(spark, competition_state):
     )
 
 
+def test_design_sample_frac_deterministic(spark, competition_state):
+    """Entity-dimension bound: frac < 1 hash-subsamples entity positions in
+    every design — deterministic across runs, and the strong signal still
+    wins at 70% sampling."""
+    long = spark.createDataFrame(
+        _long_rows(), "clade_name string, entity_id string, value double"
+    )
+    resolved = hierarchical_rollup(long)
+    flags_pdf = (
+        feature_filter_flags(resolved, N, 0.1, 0.0)
+        .select("path", "level", "passed_filters")
+        .toPandas()
+    )
+    vectors = to_feature_vectors(resolved, ENTITIES)
+    params = CompetitionParams(
+        lowest_level=1, max_level=14, nperm=2, num_trees=40, seed=11,
+        design_sample_frac=0.7,
+    )
+    s1 = TreeCompetition(vectors, flags_pdf, LABEL, None, params).run().set_index("path")
+    s2 = TreeCompetition(vectors, flags_pdf, LABEL, None, params).run().set_index("path")
+    pd.testing.assert_frame_equal(s1.sort_index(), s2.sort_index())
+    lineage = ["k__a|p__sig|c__hit", "k__a|p__sig", "k__a"]
+    assert any(bool(s1.loc[p, "winner"]) for p in lineage)
+    assert bool(s1.loc["k__a|p__sig|c__junk", "winner"]) is False
+
+
+def test_fingerprint_covers_design_data(spark, tmp_path, competition_state):
+    """Resume safety (ADVICE r2): changing the label under an unchanged
+    taxonomy must invalidate the resume fingerprint, not mix stale winners."""
+    long = spark.createDataFrame(
+        _long_rows(), "clade_name string, entity_id string, value double"
+    )
+    resolved = hierarchical_rollup(long)
+    flags_pdf = (
+        feature_filter_flags(resolved, N, 0.1, 0.0)
+        .select("path", "level", "passed_filters")
+        .toPandas()
+    )
+    vectors = to_feature_vectors(resolved, ENTITIES)
+    params = CompetitionParams(
+        lowest_level=1, max_level=14, nperm=2, num_trees=40, seed=11
+    )
+    c1 = TreeCompetition(vectors, flags_pdf, LABEL, None, params)
+    flipped = np.array(list(LABEL[::-1]))
+    c2 = TreeCompetition(vectors, flags_pdf, flipped, None, params)
+    assert c1._run_fingerprint() != c2._run_fingerprint()
+    # covariates change the fingerprint too
+    cov = np.ones((N, 1))
+    c3 = TreeCompetition(vectors, flags_pdf, LABEL, cov, params)
+    assert c1._run_fingerprint() != c3._run_fingerprint()
+
+
 # ---- pure decision-rule unit tests (no spark) ------------------------------
 
 
