@@ -52,33 +52,53 @@ def _make_generator(feature_cols: list[str], bc_background, nsim: int, seed: int
     def gen(batches):
         bg = bc_background.value  # (k, p) numpy
         k = bg.shape[0]
+        diag = np.arange(p)
+        interleave_feat = np.repeat(diag, 2)  # j, j, j+1, j+1, ...
         for pdf in batches:
             X = pdf[feature_cols].to_numpy(dtype=np.float64)
             ids = pdf["row_id"].to_numpy()
-            out_rows = []
-            for r in range(X.shape[0]):
+            n = X.shape[0]
+            blocks = []
+            for r in range(n):
+                # rng call pattern per (row, sim) kept exactly as the
+                # row-at-a-time generator's: permutation then background draw
                 rng = np.random.default_rng(seed + int(ids[r]))
+                x = X[r]
                 for s in range(nsim):
                     order = rng.permutation(p)
                     z = bg[rng.integers(0, k)]
                     pos = np.empty(p, dtype=np.int64)
-                    pos[order] = np.arange(p)
-                    for j in range(p):
-                        before = pos < pos[j]
-                        with_j = np.where(before, X[r], z)
-                        with_j[j] = X[r, j]
-                        without_j = np.where(before, X[r], z)
-                        without_j[j] = z[j]
-                        out_rows.append(
-                            (ids[r], feature_cols[j], 1.0, s, *with_j)
-                        )
-                        out_rows.append(
-                            (ids[r], feature_cols[j], -1.0, s, *without_j)
-                        )
-            yield pd.DataFrame(
-                out_rows,
-                columns=["row_id", "feature", "sign", "sim", *feature_cols],
+                    pos[order] = diag
+                    # B[j, i] = feature i precedes j in the permutation:
+                    # those coordinates come from x, the rest from z
+                    B = pos[None, :] < pos[:, None]
+                    base = np.where(B, x[None, :], z[None, :])  # (p, p)
+                    with_j = base.copy()
+                    with_j[diag, diag] = x
+                    without_j = base
+                    without_j[diag, diag] = z
+                    block = np.empty((2 * p, p))
+                    block[0::2] = with_j
+                    block[1::2] = without_j
+                    blocks.append(block)
+            data = (
+                np.vstack(blocks) if blocks else np.empty((0, p))
             )
+            n_sims = n * nsim
+            cols = {
+                "row_id": np.repeat(ids, nsim * 2 * p),
+                "feature": np.asarray(feature_cols, dtype=object)[
+                    np.tile(interleave_feat, n_sims)
+                ],
+                "sign": np.tile([1.0, -1.0], n_sims * p),
+                "sim": np.tile(
+                    np.repeat(np.arange(nsim, dtype=np.int32), 2 * p), n
+                ),
+            }
+            out = pd.DataFrame(cols)
+            for i, c in enumerate(feature_cols):
+                out[c] = data[:, i]
+            yield out
 
     return gen
 

@@ -250,23 +250,85 @@ def pack_sequences(
     id_col: str = "doc_id",
     ntok_col: str = "n_tok",
     group_col: str | None = "source",
+    prefix_len: int = 6,
+    small_n: int = 1 << 16,
 ) -> DataFrame:
     """Sequence packing: assign documents to fixed-token-budget bins for
     context-window training batches.
 
     Chunked cumulative packing: within each group (deterministic id order),
-    ``bin = floor(running_tokens_before_doc / budget)`` — one window pass,
-    no stateful scan, expressible identically in any SQL engine. Bins fill
-    to >= budget with bounded overflow of one document (the streaming-
-    friendly packing approximation used when exact first-fit is not worth a
-    sequential pass). Adds ``bin`` and ``bin_pos``.
+    ``bin = floor(running_tokens_before_doc / budget)`` — expressible
+    identically in any SQL engine. Bins fill to >= budget with bounded
+    overflow of one document (the streaming-friendly packing approximation
+    used when exact first-fit is not worth a sequential pass). Adds ``bin``
+    and ``bin_pos``.
+
+    Scale shape (same construction as build_vocab): the running token sum is
+    NEVER a per-group global window above ``small_n`` rows — at web scale
+    one `crawl` source is the whole corpus and a per-source window is a
+    single task. Instead, ids are partitioned into MONOTONE chunks — char
+    prefixes for string ids (prefix(a) <= prefix(b) whenever a <= b),
+    approxQuantile-edge buckets for numeric ids — the running sum runs
+    within each chunk (parallel windows) and a chunk-order cumulative token
+    offset (a chunk-universe-sized broadcast) lifts it to the global value.
+    Monotonicity makes per-chunk sums + offsets reproduce the global running
+    sum EXACTLY, so both branches produce identical bins. The final bin_pos
+    window partitions by (group, bin), which is budget-bounded by
+    construction.
     """
     keys = [group_col] if group_col else []
-    w = Window.partitionBy(*keys).orderBy(F.col(id_col).asc())
-    cum_before = F.coalesce(
-        F.sum(ntok_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0),
+    dtype = dict(seqs.dtypes)[id_col]
+    if dtype in ("string", "varchar"):
+        chunk = F.substring(F.col(id_col), 1, prefix_len)
+    else:
+        qs = [i / 64 for i in range(1, 64)]
+        edges = sorted(set(seqs.approxQuantile(id_col, qs, 0.001)))
+        from functools import reduce
+
+        chunk = reduce(
+            lambda acc, e: acc + (F.col(id_col) > F.lit(e)).cast("int"),
+            edges,
+            F.lit(0),
+        )
+    stats = (
+        seqs.groupBy(*keys, chunk.alias("__chunk"))
+        .agg(F.count(F.lit(1)).alias("__cnt"), F.sum(ntok_col).alias("__tok"))
+        .collect()
     )
-    out = seqs.withColumn("bin", F.floor(cum_before / budget))
+    total = sum(r["__cnt"] for r in stats)
+    if total <= small_n:
+        w = Window.partitionBy(*keys).orderBy(F.col(id_col).asc())
+        cum_before = F.coalesce(
+            F.sum(ntok_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        out = seqs.withColumn("bin", F.floor(cum_before / budget))
+    else:
+        acc: dict = {}
+        offsets = []
+        for r in sorted(
+            stats,
+            key=lambda r: (
+                str(r[group_col]) if group_col else "", r["__chunk"]
+            ),
+        ):
+            g = r[group_col] if group_col else ""
+            offsets.append(((g,) if group_col else ()) + (r["__chunk"], acc.get(g, 0)))
+            acc[g] = acc.get(g, 0) + (r["__tok"] or 0)
+        spark = seqs.sparkSession
+        off_df = spark.createDataFrame(
+            offsets, ([group_col] if group_col else []) + ["__chunk", "__off"]
+        )
+        w = Window.partitionBy(*keys, "__chunk").orderBy(F.col(id_col).asc())
+        local_before = F.coalesce(
+            F.sum(ntok_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        out = (
+            seqs.withColumn("__chunk", chunk)
+            .join(F.broadcast(off_df), keys + ["__chunk"])
+            .withColumn("bin", F.floor((F.col("__off") + local_before) / budget))
+            .drop("__chunk", "__off")
+        )
     wb = Window.partitionBy(*keys, "bin").orderBy(F.col(id_col).asc())
     return out.withColumn("bin_pos", F.row_number().over(wb) - 1)

@@ -159,3 +159,36 @@ def test_pack_sequences_budget_and_positions(spark):
     assert out.groupby("bin")["bin_pos"].apply(
         lambda s: sorted(s) == list(range(len(s)))
     ).all()
+
+
+def test_pack_sequences_chunked_identical_and_parallel(spark):
+    """The chunked (scale) path must produce bins IDENTICAL to the global
+    window, for string AND numeric ids, and must not run the running sum as
+    one single-task per-source window."""
+    from taxahfe_spark.tokens import pack_sequences
+
+    rng = __import__("numpy").random.default_rng(5)
+    # single source = the worst case for a per-source global window
+    rows_s = [(f"d{i:05d}", "crawl", int(rng.integers(10, 400))) for i in range(500)]
+    df_s = spark.createDataFrame(rows_s, "doc_id string, source string, n_tok int")
+    rows_n = [(int(i), "crawl", int(rng.integers(10, 400))) for i in range(500)]
+    df_n = spark.createDataFrame(rows_n, "doc_id long, source string, n_tok int")
+
+    for df, pfx_kw in ((df_s, dict(prefix_len=2)), (df_n, {})):
+        glob = (
+            pack_sequences(df, budget=1000, small_n=1 << 20, **pfx_kw)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        chunked = (
+            pack_sequences(df, budget=1000, small_n=0, **pfx_kw)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert glob["bin"].tolist() == chunked["bin"].tolist()
+        assert glob["bin_pos"].tolist() == chunked["bin_pos"].tolist()
+
+    # plan shape: the chunked branch's running-sum window partitions by
+    # (source, chunk), never by source alone
+    plan = pack_sequences(
+        df_s, budget=1000, small_n=0, prefix_len=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "__chunk" in plan
