@@ -742,11 +742,90 @@ SELECT doc_id, CAST(ts AS BIGINT) AS ts, path, CAST(level AS BIGINT) AS level, c
 """
 
 
+_MH_LANES = 32  # md5-lane oracle config (production default is 64 x xxhash64)
+_MH_BANDS = 8
+_MH_CAP = 200
+
+
 def q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH dedup with the md5-60bit lane hash — every stage
+    (shingle md5, lane mins, band keys, bucket cap, est-Jaccard filter,
+    one-hop drop) is replayed bit-identically by the DuckDB oracle, the same
+    portability trick as simhash_docs. The production path keeps 64 xxhash64
+    lanes (pytest-covered)."""
     from taxahfe_spark.operators.dedup import minhash_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup(docs, threshold=0.8).select("doc_id", "lang", "source")
+    return minhash_dedup(
+        docs, threshold=0.8, num_hashes=_MH_LANES, num_bands=_MH_BANDS,
+        hash_fn="md5",
+    ).select("doc_id", "lang", "source")
+
+
+def _minhash_oracle() -> str:
+    n, nb = _MH_LANES, _MH_BANDS
+    rpb = n // nb
+    h60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+    lane_mins = ",\n       ".join(
+        f"min({h60.format(x=f'h0 || ' + repr(f':{i}'))}) AS h{i}" for i in range(n)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band_idx, ".format(b=b)
+        + h60.format(
+            x=" || ',' || ".join(
+                f"h{b * rpb + i}::VARCHAR" for i in range(rpb)
+            )
+        )
+        + " AS band_hash FROM lanes"
+        for b in range(nb)
+    )
+    eq_terms = " + ".join(
+        f"CASE WHEN la.h{i} = lb.h{i} THEN 1 ELSE 0 END" for i in range(n)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, norm,
+         unnest(generate_series(1, greatest(length(norm) - 5 + 1, 1))) AS p
+  FROM base
+),
+sh AS (SELECT doc_id, md5(substr(norm, p, 5) || ':42') AS h0 FROM pos),
+lanes AS (
+  SELECT doc_id,
+       {lane_mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+hot AS (
+  SELECT band_idx, band_hash FROM bands
+  GROUP BY 1, 2 HAVING count(*) > {_MH_CAP}
+),
+banded AS (
+  SELECT b.* FROM bands b
+  LEFT JOIN hot h USING (band_idx, band_hash)
+  WHERE h.band_idx IS NULL
+),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y USING (band_idx, band_hash)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+losers AS (
+  SELECT DISTINCT c.b
+  FROM cand c
+  JOIN lanes la ON la.doc_id = c.a
+  JOIN lanes lb ON lb.doc_id = c.b
+  WHERE ({eq_terms}) / {n}.0 >= 0.8
+)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT b FROM losers)
+"""
 
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1416,8 +1495,10 @@ def oracle_sql() -> dict[str, str]:
         "ml_linreg_metrics": _ML_LINREG_ORACLE,
         "sample_by_source": _SAMPLE_ORACLE,
         "pack_sequences": _PACK_ORACLE,
-        # minhash_dedup_docs (xxhash64 has no DuckDB analog) and hfe_collapse
-        # (RF-randomized decisions) are genuinely non-SQL-expressible ->
-        # rows-only checks; hfe_corr_collapse oracles the deterministic
-        # prefix of the collapse and simhash_docs the md5 fingerprint math
+        "minhash_dedup_docs": _minhash_oracle(),
+        # hfe_collapse (RF-randomized decisions) is the one genuinely
+        # non-SQL-expressible query -> rows-only check; hfe_corr_collapse
+        # oracles the deterministic prefix of the collapse, and
+        # simhash_docs / minhash_dedup_docs replay the full md5 fingerprint
+        # math value-for-value
     }

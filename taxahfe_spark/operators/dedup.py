@@ -60,6 +60,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 5,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<bigint>) MinHash signatures.
 
@@ -67,7 +68,11 @@ def minhash_signatures(
     equivalent transform() lambda is evaluated INTERPRETED per element —
     measured 3.4x slower); duplicate shingles are kept (min is idempotent,
     dedup would cost more than it saves); the shingle string is hashed once
-    and the k lanes derive from the 8-byte value.
+    and the k lanes derive from the hashed value.
+
+    ``hash_fn``: "xxhash64" (8-byte lanes, fastest — the production path) or
+    "md5" (md5_hash60 lanes derived from the shingle's md5 hex — bit-
+    identical to the DuckDB oracle, the same portability trick as simhash).
     """
     norm = normalize_text(text_col)
     # respread the NARROW doc frame before the ~1000x shingle explode: a
@@ -86,18 +91,27 @@ def minhash_signatures(
             )
         ).alias("__pos"),
     )
-    sh = ex.select(
-        id_col,
-        F.xxhash64(
-            F.substr("__norm", F.col("__pos"), F.lit(shingle_k)), F.lit(seed)
-        ).alias("h0"),
-    )
-    mins = sh.groupBy(id_col).agg(
-        *[
+    shingle = F.substr("__norm", F.col("__pos"), F.lit(shingle_k))
+    if hash_fn == "md5":
+        sh = ex.select(
+            id_col,
+            F.md5(
+                F.concat(shingle, F.lit(f":{seed}")).cast("binary")
+            ).alias("h0"),
+        )
+        lanes = [
+            F.min(
+                md5_hash60(F.concat(F.col("h0"), F.lit(f":{i}")))
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        sh = ex.select(id_col, F.xxhash64(shingle, F.lit(seed)).alias("h0"))
+        lanes = [
             F.min(F.xxhash64(F.col("h0"), F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
-    )
+    mins = sh.groupBy(id_col).agg(*lanes)
     return mins.select(
         id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
     )
@@ -110,6 +124,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     sig_len: int | None = None,
     max_bucket_size: int = 200,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) whose signature-estimated
     Jaccard >= threshold. Bucket join on (band_idx, band_hash).
@@ -128,16 +143,31 @@ def minhash_lsh_pairs(
     if sig_len is None:
         sig_len = sigs.select(F.size("sig")).first()[0]
     rows_per_band = max(1, sig_len // num_bands)
+    if hash_fn == "md5":
+        # engine-portable band key: md5_hash60 over the comma-joined lane
+        # values (explicit join, not an array cast, so the string is
+        # byte-identical in any engine)
+        def band_hash(b):
+            return md5_hash60(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig")[b * rows_per_band + i].cast("string")
+                        for i in range(rows_per_band)
+                    ],
+                )
+            )
+    else:
+        def band_hash(b):
+            return F.xxhash64(
+                F.slice("sig", b * rows_per_band + 1, rows_per_band).cast("string")
+            )
+
     banded = sigs.select(
         F.col(id_col).alias("id"),
         "sig",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice("sig", b * rows_per_band + 1, rows_per_band).cast("string")
-                ),
-            )
+            F.array(*[band_hash(b) for b in range(num_bands)])
         ).alias("band_idx", "band_hash"),
     )
     if max_bucket_size is not None:
@@ -186,13 +216,19 @@ def minhash_dedup(
     shingle_k: int = 5,
     threshold: float = 0.8,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Drop near-duplicates: any doc matched (est Jaccard >= threshold) to a
     lower-id doc is removed. One-hop rule (no transitive closure — matches
     common web-pipeline practice; closure needs an iterative min-propagation,
-    see connected_components)."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
-    pairs = minhash_lsh_pairs(sigs, id_col, num_bands, threshold, sig_len=num_hashes)
+    see connected_components). ``hash_fn="md5"`` selects the DuckDB-
+    replayable lane hash (see minhash_signatures)."""
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, seed, hash_fn=hash_fn
+    )
+    pairs = minhash_lsh_pairs(
+        sigs, id_col, num_bands, threshold, sig_len=num_hashes, hash_fn=hash_fn
+    )
     losers = pairs.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
