@@ -107,20 +107,19 @@ def classification_metrics(
     return out
 
 
-def binary_auc(
+def midrank_frame(
     pred: DataFrame, truth_col: str, prob_col: str, event: str, n_buckets: int = 32
-) -> float:
-    """Exact Mann-Whitney AUC with correct midranks for tied probabilities.
+) -> DataFrame:
+    """(__pos, __p, __mid) — global Mann-Whitney midranks WITHOUT any
+    unpartitioned window.
 
-    AUC = (sum of positive midranks - npos*(npos+1)/2) / (npos * nneg).
-    Midranks come from a TWO-LEVEL ranking: probs are bucketed by
-    approxQuantile edges (bucketing is a pure function of the value, so tied
-    probs can never straddle buckets), row_number is assigned within each
-    bucket, the midrank within a (bucket, prob) tie group is the average
-    row_number, and the global rank adds the bucket's cumulative offset
-    (a <= n_buckets-row driver list). No unpartitioned Window anywhere, so
-    the rank never funnels through one task — ties (guaranteed for RF/GBT
-    probs, which are multiples of 1/numTrees) still midrank exactly.
+    Probs are bucketed by approxQuantile edges (bucketing is a pure function
+    of the value, so tied probs can never straddle buckets), row_number is
+    assigned within each bucket, the midrank within a (bucket, prob) tie
+    group is the average row_number, and the global rank adds the bucket's
+    cumulative offset (a <= n_buckets-row driver list). Exposed separately
+    from binary_auc so tools/explain_audit.py can assert the no-single-task
+    plan shape mechanically.
     """
     from functools import reduce
 
@@ -150,9 +149,18 @@ def binary_auc(
     ).otherwise(0.0)
     w_rn = Window.partitionBy("__b").orderBy("__p")
     w_tie = Window.partitionBy("__b", "__p")
-    ranked = bk.withColumn("__rn", F.row_number().over(w_rn)).withColumn(
+    return bk.withColumn("__rn", F.row_number().over(w_rn)).withColumn(
         "__mid", F.avg("__rn").over(w_tie) + off_expr
     )
+
+
+def binary_auc(
+    pred: DataFrame, truth_col: str, prob_col: str, event: str, n_buckets: int = 32
+) -> float:
+    """Exact Mann-Whitney AUC with correct midranks for tied probabilities:
+    AUC = (sum of positive midranks - npos*(npos+1)/2) / (npos * nneg),
+    midranks from the bucketed two-level ranking in ``midrank_frame``."""
+    ranked = midrank_frame(pred, truth_col, prob_col, event, n_buckets)
     agg = ranked.agg(
         F.sum(F.when(F.col("__pos") == 1, F.col("__mid"))).alias("rpos"),
         F.sum("__pos").alias("npos"),

@@ -119,6 +119,34 @@ def main() -> None:
     p = plan(minhash_signatures(docs))
     check("minhash: partial min agg before exchange", "partial_min" in p)
 
+    # 8. dietML path: NO unpartitioned window anywhere (an unpartitioned
+    #    windowspecdefinition starts with an ORDER col, i.e. "col#N ASC|DESC";
+    #    a partitioned one lists partition cols first) — the round-2 global
+    #    ntile/rank trio funnelled every row through one task
+    import re
+
+    def unpartitioned_windows(p: str) -> list[str]:
+        return re.findall(r"windowspecdefinition\(\w+#\d+L? (?:ASC|DESC)", p)
+
+    from taxahfe_spark.dietml import fold_assignments, stratified_split
+    from taxahfe_spark.functions.metrics import midrank_frame
+
+    ev_num = ev.select(
+        F.col("event_id").cast("string").alias("subject_id"),
+        F.col("value").alias("feature_of_interest"),
+    )
+    p = plan(stratified_split(ev_num, feature_type="numeric"))
+    check("dietML strata: no unpartitioned window", not unpartitioned_windows(p))
+    p = plan(fold_assignments(ev_num, feature_type="numeric", folds=3, repeats=2))
+    check("dietML folds: no unpartitioned window", not unpartitioned_windows(p))
+    pred = ev.select(
+        F.when(F.col("event_type") == "click", "a").otherwise("b").alias("truth"),
+        (F.col("value") / (F.col("value") + 1)).alias("prob"),
+    )
+    p = plan(midrank_frame(pred, "truth", "prob", "a"))
+    check("AUC midranks: no unpartitioned window", not unpartitioned_windows(p))
+    check("AUC midranks: no SinglePartition exchange", "SinglePartition" not in p)
+
     spark.stop()
     if failures:
         print(f"\n{len(failures)} plan properties FAILED: {failures}")
