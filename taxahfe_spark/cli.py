@@ -176,14 +176,19 @@ def append_run_log(opts: argparse.Namespace, status: str) -> None:
         f.write(f'{ts},{opts.command},{opts.seed},{status},"{flags}"\n')
 
 
-def main(argv: list[str] | None = None) -> None:
+def main(argv: list[str] | None = None, spark=None) -> None:
+    """CLI entry. ``spark``: inject an existing session (tests, notebooks) —
+    the CLI then neither builds nor stops it; otherwise one is created for
+    ``--ncores`` and stopped on exit."""
     opts = load_args(argv)
-    from taxahfe_spark.session import get_spark
+    owns_session = spark is None
+    if owns_session:
+        from taxahfe_spark.session import get_spark
 
-    spark = get_spark(
-        f"taxahfe_{opts.command}",
-        master=f"local[{getattr(opts, 'ncores', 2)}]",
-    )
+        spark = get_spark(
+            f"taxahfe_{opts.command}",
+            master=f"local[{getattr(opts, 'ncores', 2)}]",
+        )
     append_run_log(opts, "started")
     try:
         if opts.command == "run-hfe":
@@ -197,11 +202,16 @@ def main(argv: list[str] | None = None) -> None:
         append_run_log(opts, "failed")
         raise
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
 
 
 def _read_inputs(spark, opts):
-    from taxahfe_spark.pipeline import read_hierarchical_data, read_metadata
+    from taxahfe_spark.pipeline import (
+        discretize_label,
+        read_hierarchical_data,
+        read_metadata,
+    )
     from taxahfe_spark.taxonomy import melt_wide_matrix
 
     meta = read_metadata(
@@ -209,6 +219,16 @@ def _read_inputs(spark, opts):
         subject_identifier=opts.subject_identifier, label=opts.label,
         limit_covariates=True, feature_type=opts.feature_type,
     )
+    if getattr(opts, "random_effects", False) and opts.feature_type == "numeric":
+        # the reference bins at METADATA READ (lib/tree.R:114-131), so the
+        # kmeans factor levels flow into every downstream artifact (output
+        # matrix, summaries, dietML) — not just the competition design
+        pdf = meta.toPandas()
+        pdf["feature_of_interest"] = pdf["feature_of_interest"].astype(float)
+        meta = spark.createDataFrame(
+            discretize_label(pdf, k=int(opts.k_splits), seed=opts.seed)
+        )
+        opts.feature_type = "factor"
     long = melt_wide_matrix(read_hierarchical_data(spark, opts.DATA, validate_na=True))
     return meta, long
 

@@ -61,9 +61,10 @@ def read_metadata(
         )
     if feature_type == "factor":
         n_levels = df.select("feature_of_interest").distinct().count()
+        # try_cast: ANSI mode makes a plain cast THROW on non-numeric strings
         numeric_like = (
             df.filter(
-                F.col("feature_of_interest").cast("double").isNotNull()
+                F.col("feature_of_interest").try_cast("double").isNotNull()
             ).count()
             == df.count()
         )
