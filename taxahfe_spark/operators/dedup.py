@@ -146,29 +146,36 @@ def minhash_lsh_pairs(
     if hash_fn == "md5":
         # engine-portable band key: md5_hash60 over the comma-joined lane
         # values (explicit join, not an array cast, so the string is
-        # byte-identical in any engine)
-        def band_hash(b):
-            return md5_hash60(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col("sig")[b * rows_per_band + i].cast("string")
-                        for i in range(rows_per_band)
-                    ],
+        # byte-identical in any engine). Built as num_bands separate exprs —
+        # this is the small oracle variant, portability beats codegen here.
+        bands = F.array(
+            *[
+                md5_hash60(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sig")[b * rows_per_band + i].cast("string")
+                            for i in range(rows_per_band)
+                        ],
+                    )
                 )
-            )
+                for b in range(num_bands)
+            ]
+        )
     else:
-        def band_hash(b):
-            return F.xxhash64(
+        # transform-over-sequence, NOT an array of per-band exprs: an
+        # F.array of 16 independent slice+hash expressions measured 1.6x
+        # slower than the single fused lambda on the sf0.1 band job
+        bands = F.transform(
+            F.sequence(F.lit(0), F.lit(num_bands - 1)),
+            lambda b: F.xxhash64(
                 F.slice("sig", b * rows_per_band + 1, rows_per_band).cast("string")
-            )
-
+            ),
+        )
     banded = sigs.select(
         F.col(id_col).alias("id"),
         "sig",
-        F.posexplode(
-            F.array(*[band_hash(b) for b in range(num_bands)])
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(bands).alias("band_idx", "band_hash"),
     )
     if max_bucket_size is not None:
         hot = (
@@ -229,7 +236,16 @@ def minhash_dedup(
     pairs = minhash_lsh_pairs(
         sigs, id_col, num_bands, threshold, sig_len=num_hashes, hash_fn=hash_fn
     )
-    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    # materialize the (duplicate-count-sized) loser set, then RELEASE the
+    # signature cache lsh_pairs pinned: without this every call leaks a
+    # corpus-sized cached block (measured 2x slowdown across bench reps from
+    # storage-memory pressure alone)
+    losers = (
+        pairs.select(F.col("b").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sigs.unpersist()
     return df.join(losers, id_col, "left_anti")
 
 
