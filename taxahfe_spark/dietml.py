@@ -692,6 +692,7 @@ def run_dietml(
     shap: bool = False,
     shap_top_k: int = 10,
     parallel_workers: int = 1,
+    tune_strategy: str = "grid",
 ) -> DietMLResult:
     """End-to-end dietML run (reference cmd/diet_ml.R:23-85 ->
     lib/diet_ml_funcs.R:16-111): split -> collinearity -> recipe -> CV grid
@@ -709,6 +710,16 @@ def run_dietml(
     Seeds derive from (candidate, repeat) only, so results are IDENTICAL for
     any worker count.
 
+    ``tune_strategy``: "grid" evaluates every candidate on the full
+    repeats x folds budget (with tune_stop/tune_time early stopping);
+    "halving" is successive halving — all candidates are scored on ONE fold
+    first, the top third advance to repeat 0's full folds, and only the
+    finalists pay the complete repeats x folds bill. Halving matches the
+    reference's tune_bayes fit budget far better than a flat grid at equal
+    tune_length (initial sweep + concentrated refinement) and is fully
+    deterministic (same per-(candidate, repeat) seeds). Final selection
+    always uses full-budget scores only.
+
     Leakage contract note: the recipe (collinearity, center/scale, zv, corr,
     info-gain) is estimated ONCE on the full training split and reused in
     every CV fold, whereas tidymodels re-preps per resample. CV scores are
@@ -716,6 +727,11 @@ def run_dietml(
     train/test boundary itself is never crossed. This is the documented
     approximation that keeps preprocessing one Spark job instead of
     folds x repeats jobs.
+
+    SVM is classification-only (LinearSVC); the reference's kernlab engine
+    also fits regression, which has no Spark-native analog — a regression
+    run with model="svm" raises with that explanation (declared non-goal,
+    SURVEY §7.5).
     """
     metric = metric or ("bal_accuracy" if feature_type == "factor" else "rmse")
     feature_cols = [

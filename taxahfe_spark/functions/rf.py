@@ -207,14 +207,37 @@ def forest_importance(
     if mtry is None:
         mtry = max(1, int(np.floor(np.sqrt(P))))
     m_eff = min(mtry, P)
-    T = num_trees
 
-    # all randomness up front, in a fixed order: bootstraps, one shadow
+    # Trees grow in BLOCKS sized so the slot state (sample/node/active
+    # arrays plus the per-depth gathers) stays cache-resident: one block of
+    # all trees at n=15k measured 3.8x slower than ~128k-slot blocks purely
+    # from memory traffic. Small designs (n*num_trees <= the target) keep a
+    # single block — identical rng stream to the unblocked engine.
+    block = max(1, -(-(1 << 17) // n))  # ceil(131072 / n) trees per block
+    imp = np.zeros(P)
+    for t_lo in range(0, num_trees, block):
+        T = min(block, num_trees - t_lo)
+        _grow_tree_block(
+            rng, T, n, P, p, m_eff, min_size, base_codes, yv, classification,
+            n_classes, corrected, max_depth, imp,
+        )
+
+    imp /= num_trees
+    if corrected:
+        return imp[:p] - imp[p:]
+    return imp[:p]
+
+
+def _grow_tree_block(
+    rng, T, n, P, p, m_eff, min_size, base_codes, yv, classification,
+    n_classes, corrected, max_depth, imp,
+) -> None:
+    """Grow one block of T trees level-synchronously, accumulating into imp."""
+    # all randomness per block, in a fixed order: bootstraps, one shadow
     # permutation per tree, then one feature-subset draw per depth
     boot = rng.integers(0, n, (T, n))
     perm = np.argsort(rng.random((T, n)), axis=1) if corrected else None
 
-    imp = np.zeros(P)
     sample_idx = boot.ravel().astype(np.int64)  # (T*n,)
     tree_id = np.repeat(np.arange(T, dtype=np.int64), n)
     node_id = np.zeros(T * n, dtype=np.int64)
@@ -328,8 +351,3 @@ def forest_importance(
             vals = base_codes[rows_live, fc]
         go_right = (vals > thr[gi_live]).astype(np.int64)
         node_id[live] = node_id[live] * 2 + go_right
-
-    imp /= num_trees
-    if corrected:
-        return imp[:p] - imp[p:]
-    return imp[:p]
