@@ -194,6 +194,17 @@ def taxa_hfe(
     hierarchical_long: (clade_name, entity_id, value) long frame
     (use taxonomy.melt_wide_matrix for reference-shaped wide CSVs).
 
+    Entity-dimension bound (documented ceiling): the reference's competition
+    semantics make every RF design n_entities wide, so this driver holds the
+    metadata frame (n_entities x covariates) in pandas and broadcasts an
+    n_entities-long label/covariate context to executors — at 8 B/entity/
+    column that is ~1 GB per 10^8 entities, the practical ceiling of the
+    exact-reference path. Past it, set
+    ``params.design_sample_frac < 1`` (seeded, layout-invariant entity
+    subsampling applied consistently to every design — the ranger
+    sample.fraction analog); the taxonomy/abundance side stays fully
+    distributed either way and has no such bound.
+
     Returns (resolved long frame with per-node values, node-state pandas frame
     with winner/sf_winner flags and audit outcomes).
     """
