@@ -181,6 +181,73 @@ def test_lsh_topk_finds_planted_neighbors(spark, emb):
     assert hits >= 8  # recall>=0.8 on planted strong neighbors
 
 
+def test_multimodal_real_decoders():
+    """The pure-numpy WAV / PPM / BMP / y4m decoders round-trip known
+    payloads exactly — decode is REAL for uncompressed container formats."""
+    import struct
+
+    import numpy as np
+
+    from taxahfe_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        decode_y4m,
+        make_ppm,
+        make_wav,
+        make_y4m,
+    )
+
+    # WAV: a pure 440 Hz sine decodes to the same samples
+    rate = 8000
+    t = np.arange(2000) / rate
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    pcm = (x * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    wav = b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+    got, got_rate = decode_wav(wav)
+    assert got_rate == rate and got.shape == (2000, 1)
+    assert np.allclose(got[:, 0], np.frombuffer(pcm, "<i2") / 32768.0)
+    # RMS of a sine is amp/sqrt(2)
+    assert abs(np.sqrt((got**2).mean()) - 0.5 / np.sqrt(2)) < 0.01
+
+    # PPM: solid color round-trips bit-exactly
+    px = np.zeros((4, 6, 3), dtype=np.uint8)
+    px[..., 0], px[..., 1], px[..., 2] = 200, 100, 50
+    ppm = b"P6\n# comment\n6 4\n255\n" + px.tobytes()
+    img = decode_ppm(ppm)
+    assert img.shape == (4, 6, 3)
+    assert np.allclose(img[0, 0], [200 / 255, 100 / 255, 50 / 255])
+
+    # BMP: 24-bit bottom-up with row padding, BGR order
+    w, h = 3, 2
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    for r in range(h):  # bottom-up: row 0 in file = bottom image row
+        row = bytes([10 + r, 20 + r, 30 + r] * w)  # B,G,R
+        rows += row + b"\x00" * (stride - len(row))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    bmp = header + info + bytes(rows)
+    img = decode_bmp(bmp)
+    assert img.shape == (2, 3, 3)
+    # top image row came from file row 1 (bottom-up), RGB order
+    assert np.allclose(img[0, 0] * 255, [31, 21, 11])
+    assert np.allclose(img[1, 0] * 255, [30, 20, 10])
+
+    # y4m: constant-luma frames decode to those lumas
+    y4m = make_y4m(0, w=8, h=4, frames=3)
+    frames, fps = decode_y4m(y4m)
+    assert frames.shape == (3, 4, 8) and fps == 25.0
+    assert (frames.std(axis=(1, 2)) == 0).all()
+
+    # synthesized fixtures are self-consistent
+    decode_wav(make_wav(7))
+    decode_ppm(make_ppm(7))
+
+
 def test_multimodal_plumbing(spark):
     from taxahfe_spark.operators.multimodal import (
         extract_media_features,
@@ -200,6 +267,22 @@ def test_multimodal_plumbing(spark):
     plan = frame_sample_plan(media, every_ms=5000)
     assert plan.count() > 0
     assert plan.filter("frame_ts_ms < 0").count() == 0
+
+
+def test_multimodal_unsupported_codec_quarantined(spark):
+    """Compressed codecs must produce error rows, never a failed job."""
+    from taxahfe_spark.operators.multimodal import MEDIA_SCHEMA, extract_media_features
+
+    rows = [
+        ("bad1", "image", bytearray(b"\x89PNG\r\n\x1a\nxxxx"), "image/png", 4, 4, None),
+        ("bad2", "audio", bytearray(b"\x00" * 16), "audio/mpeg", None, None, 100),
+        ("bad3", "video", None, "video/mp4", None, None, 100),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in extract_media_features(media, dim=8).collect()}
+    assert not any(r["ok"] for r in got.values())
+    assert "PPM" in got["bad1"]["error"] or "BMP" in got["bad1"]["error"]
+    assert "null payload" in got["bad3"]["error"]
 
 
 def test_ann_self_pairs_recall_vs_exact(spark):
