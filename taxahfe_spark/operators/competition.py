@@ -167,7 +167,14 @@ def _corr_with_parent(mat: np.ndarray, method: str) -> np.ndarray:
     num = xc[:, :1].T @ xc  # (1, k)
     with np.errstate(divide="ignore", invalid="ignore"):
         r = (num / (denom[0] * denom))[0]
-    return r[1:]
+    # (effectively-)constant columns must yield NaN, never a prune: without
+    # the relative floor, catastrophic cancellation in the mean subtraction
+    # can turn an exactly-constant column into denom ~ 1e-20 and a spurious
+    # r = +/-1 (found by hypothesis)
+    tiny = denom <= np.abs(x).max(axis=0) * x.shape[0] * 1e-14
+    r = r[1:]
+    r[tiny[0] | tiny[1:]] = np.nan
+    return r
 
 
 def _decide_parent_descendant(
