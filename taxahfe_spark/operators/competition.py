@@ -246,6 +246,34 @@ def _rank_avg(v: np.ndarray) -> np.ndarray:
     return pd.Series(v).rank(method="average").to_numpy()
 
 
+# executor-process bin-code memo: chunk fan-out runs MANY tasks per
+# competition, each rebuilding the identical design and re-binning it (1.8s
+# at the sf0.1 super filter's 15k x 1000 shape). Python workers are reused
+# across tasks, so a per-process cache amortizes binning across a worker's
+# share of the fan-out. Keyed by (competition key + a content crc of the
+# design), so a colliding key from a different run can never serve stale
+# codes; bounded to the last few competitions.
+_BIN_MEMO: dict[str, np.ndarray] = {}
+
+
+def _cached_bins(X: np.ndarray, cache_key: str | None) -> np.ndarray:
+    from taxahfe_spark.functions.rf import _bin_features
+
+    if cache_key is None:
+        return _bin_features(X)
+    key = (
+        f"{cache_key}|{X.shape}|"
+        f"{zlib.crc32(np.ascontiguousarray(X[: min(64, X.shape[0])]).tobytes())}"
+    )
+    codes = _BIN_MEMO.get(key)
+    if codes is None:
+        codes = _bin_features(X)
+        if len(_BIN_MEMO) >= 4:
+            _BIN_MEMO.pop(next(iter(_BIN_MEMO)))
+        _BIN_MEMO[key] = codes
+    return codes
+
+
 def make_importance_runner(
     Xf: np.ndarray,
     label: np.ndarray,
@@ -253,22 +281,23 @@ def make_importance_runner(
     re_individual: np.ndarray | None,
     re_time: np.ndarray | None,
     params: "CompetitionParams",
+    cache_key: str | None = None,
 ):
     """Per-competition importance closure: design matrices AND quantile bin
     codes are computed ONCE, then each chunk's fit reuses them (binning is a
     large share of a small-forest fit; results are bit-identical).
+    ``cache_key`` additionally memoizes the bin codes across TASKS of the
+    same competition in one worker process (see _BIN_MEMO).
 
     Non-RE: one corrected-impurity forest on [features | covariates]
     (reference lib/tree.R:799-803). RE: two forests on the per-(individual,
     label) mean and slope designs, rank-averaged (lib/tree.R:776-793).
     """
-    from taxahfe_spark.functions.rf import _bin_features
-
     classification = params.feature_type == "factor"
     p = Xf.shape[1]
     if not params.random_effects:
         X = Xf if cov is None or not cov.size else np.column_stack([Xf, cov])
-        codes = _bin_features(X)
+        codes = _cached_bins(X, cache_key)
 
         def run(seed: int) -> np.ndarray:
             return forest_importance(
@@ -295,8 +324,8 @@ def make_importance_runner(
         slopes if cov is None or not cov.size
         else np.column_stack([slopes, X_mean[:, p:]])
     )
-    codes_mean = _bin_features(X_mean)
-    codes_slope = _bin_features(X_slope)
+    codes_mean = _cached_bins(X_mean, cache_key and f"{cache_key}:mean")
+    codes_slope = _cached_bins(X_slope, cache_key and f"{cache_key}:slope")
 
     def run_re(seed: int) -> np.ndarray:
         imp_a = forest_importance(
@@ -374,8 +403,9 @@ def _run_group(
         competitors = [parent_path] + keep
     Xf = np.column_stack([dense[n] for n in competitors])
     parent_key = parent_path if parent_path is not None else "__final__"
+    cache_key = f"{parent_key}|{len(competitors)}|{zlib.crc32('|'.join(competitors).encode())}"
     run_fit = make_importance_runner(
-        Xf, label, cov, re_individual, re_time, params
+        Xf, label, cov, re_individual, re_time, params, cache_key=cache_key
     )
     imp_sum = np.zeros(len(competitors))
     imp_cnt = np.zeros(len(competitors), dtype=np.int64)
@@ -714,12 +744,14 @@ class TreeCompetition:
     def _chunk_ranges(self, n_comps: int, n_chunks: int) -> list[tuple[int, int]]:
         """Split nperm fits into contiguous chunk ranges, adaptively: few
         competitions -> full fan-out (wall time ~ one fit); many competitions
-        -> one range per competition (vectors ship once per level). Seeds
-        depend only on the absolute chunk index, so scheduling never changes
-        results."""
+        -> one range per competition (vectors ship once per level). The
+        range count targets ~4x parallelism total tasks so a near-core-count
+        competition list doesn't end on a one-task straggler wave (25 tasks
+        on 8 cores = waves of 8,8,8,1 — the tail wave is a full per-task
+        latency). Seeds depend only on the absolute chunk index, so
+        scheduling never changes results."""
         par = self.spark.sparkContext.defaultParallelism
-        target_rows = max(2 * par, n_comps)
-        per_comp = max(1, min(n_chunks, target_rows // max(n_comps, 1)))
+        per_comp = max(1, min(n_chunks, -(-4 * par // max(n_comps, 1))))
         step = (n_chunks + per_comp - 1) // per_comp
         return [(lo, min(lo + step, n_chunks)) for lo in range(0, n_chunks, step)]
 
