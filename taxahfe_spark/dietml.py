@@ -766,14 +766,30 @@ def run_dietml(
             recipe.keep_cols,
         )
 
-    train_p = prep(train).persist()
+    # tiny-frame adaptivity: a few-hundred-sample CV frame scattered over the
+    # session's shuffle partitions pays ~partitions x task scheduling on
+    # EVERY one of the hundreds of tuning fits — the dominant dietML cost at
+    # reference scale. Coalesce small cached frames to ~25k rows/partition
+    # (thread-pooled fits still use every core via concurrent jobs); large
+    # frames keep their partitioning untouched.
+    n_train = train.count()
+    small_parts = (
+        max(1, -(-n_train // 25_000)) if n_train <= 100_000 else None
+    )
+    train_p = prep(train)
+    if small_parts:
+        train_p = train_p.coalesce(small_parts)
+    train_p = train_p.persist()
     train_p.count()
     test_p = prep(test)
 
     fold_df = fold_assignments(
         train, label_col, id_col, folds, cv_repeats, seed, feature_type
     )
-    train_cv = train_p.join(fold_df, id_col).persist()
+    train_cv = train_p.join(fold_df, id_col)
+    if small_parts:
+        train_cv = train_cv.coalesce(small_parts)
+    train_cv = train_cv.persist()
     train_cv.count()
 
     # -- grid tune (M7) with tune_stop / tune_time early stopping -----------
