@@ -1204,6 +1204,50 @@ SELECT metric, round(value, 6) AS value FROM vals
 """
 
 
+def q_ml_auc_midrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney AUC with midranks under HEAVY ties (20 distinct
+    prob values over 10k rows — the RF/GBT regime): the bucketed two-level
+    ranking in functions.metrics.binary_auc, oracle-checked against
+    DuckDB's window-function midrank formula value-for-value."""
+    from taxahfe_spark.functions.metrics import binary_auc
+
+    ev = _t(spark, sf_dir, "events")
+    # probs derived from an INTEGER column: k/20 is the same IEEE double in
+    # every engine (no rounding step to diverge on), with 20-way ties
+    pred = ev.select(
+        F.when(F.col("event_type") == "click", "pos").otherwise("neg").alias("truth"),
+        ((F.col("event_id") % 20).cast("double") / 20).alias("prob"),
+    )
+    auc = binary_auc(pred, "truth", "prob", "pos")
+    return spark.createDataFrame(
+        [("roc_auc", round(float(auc), 6))], "metric string, value double"
+    )
+
+
+_ML_AUC_ORACLE = """
+WITH pred AS (
+  SELECT CASE WHEN event_type = 'click' THEN 'pos' ELSE 'neg' END AS truth,
+         CAST(event_id % 20 AS DOUBLE) / 20 AS prob
+  FROM events
+),
+ranked AS (
+  SELECT truth, prob, row_number() OVER (ORDER BY prob) AS rn FROM pred
+),
+mid AS (
+  SELECT truth, avg(rn) OVER (PARTITION BY prob) AS mr FROM ranked
+),
+agg AS (
+  SELECT sum(CASE WHEN truth = 'pos' THEN mr END) AS rpos,
+         CAST(count(*) FILTER (truth = 'pos') AS DOUBLE) AS npos,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM mid
+)
+SELECT 'roc_auc' AS metric,
+       round((rpos - npos * (npos + 1) / 2) / (npos * (n - npos)), 6) AS value
+FROM agg
+"""
+
+
 def q_ml_linreg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/test regression (dietML M10 metric set): one-
     feature OLS (closed form via regr_slope/intercept) fit on train events,
@@ -1290,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hfe_corr_collapse": q_hfe_corr_collapse,
         "ml_split_folds": q_ml_split_folds,
         "ml_null_metrics": q_ml_null_metrics,
+        "ml_auc_midrank": q_ml_auc_midrank,
         "ml_linreg_metrics": q_ml_linreg_metrics,
         "sample_by_source": q_sample_by_source,
         "pack_sequences": q_pack_sequences,
@@ -1492,6 +1537,7 @@ def oracle_sql() -> dict[str, str]:
         "hfe_corr_collapse": _HFE_CORR_COLLAPSE_ORACLE,
         "ml_split_folds": _ML_SPLIT_ORACLE,
         "ml_null_metrics": _ML_NULL_ORACLE,
+        "ml_auc_midrank": _ML_AUC_ORACLE,
         "ml_linreg_metrics": _ML_LINREG_ORACLE,
         "sample_by_source": _SAMPLE_ORACLE,
         "pack_sequences": _PACK_ORACLE,
