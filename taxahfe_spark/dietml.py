@@ -607,10 +607,15 @@ def _score(
     pred: DataFrame, feature_type: str, classes: list[str] | None
 ) -> dict[str, float]:
     if feature_type == "factor":
+        binary = classes is not None and len(classes) == 2
         return classification_metrics(
             pred, "truth", "estimate",
-            prob_col="prob" if "prob" in pred.columns else None,
+            prob_col="prob" if binary and "prob" in pred.columns else None,
             event_class=classes[0] if classes else None,
+            # 3+ classes: Hand-Till multiclass AUC over the per-class
+            # probability array (yardstick roc_auc multiclass default)
+            probs_col="__probs" if "__probs" in pred.columns else None,
+            class_levels=classes,
         )
     return regression_metrics(pred, "truth", "estimate")
 

@@ -94,17 +94,72 @@ def classification_metrics(
     estimate_col: str = "estimate",
     prob_col: str | None = None,
     event_class: str | None = None,
+    probs_col: str | None = None,
+    class_levels: list[str] | None = None,
 ) -> dict[str, float]:
     """Reference classification metric set. ``prob_col`` (P(event)) enables
-    roc_auc for binary problems (multiclass AUC is out of the metric set's
-    scope here and reported as NaN)."""
+    roc_auc for binary problems; ``probs_col`` (array<double> of per-class
+    probabilities, index-aligned with ``class_levels``) enables multiclass
+    roc_auc via the Hand-Till estimator — yardstick's ``roc_auc`` default
+    for 3+ classes (reference lib/diet_ml_funcs.R:963)."""
     m, classes = confusion_matrix(pred, truth_col, estimate_col)
     out = classification_metrics_from_cm(m)
     out["roc_auc"] = float("nan")
     if prob_col is not None and len(classes) == 2:
         event = event_class or classes[0]
         out["roc_auc"] = binary_auc(pred, truth_col, prob_col, event)
+    elif probs_col is not None and class_levels and len(class_levels) > 2:
+        out["roc_auc"] = hand_till_auc(pred, truth_col, probs_col, class_levels)
     return out
+
+
+def hand_till_auc(
+    pred: DataFrame,
+    truth_col: str,
+    probs_col: str,
+    class_levels: list[str],
+    n_buckets: int = 32,
+) -> float:
+    """Multiclass AUC, Hand & Till (2001) ``M`` — yardstick's
+    ``roc_auc(estimator = "hand_till")`` multiclass default:
+
+        M = 2 / (K(K-1)) * sum_{i<j} (A(i|j) + A(j|i)) / 2
+
+    where A(i|j) is the Mann-Whitney (midrank-tied, matching R ``rank()``
+    average ties) AUC of the class-i probability column restricted to rows
+    whose truth is class i or class j, with class i as the event. Levels
+    with zero truth observations are dropped before pairing (yardstick
+    drops them with a warning); K is the retained level count.
+
+    ``probs_col`` is an array<double> index-aligned with ``class_levels``
+    (the label-indexer order). Each pairwise AUC reuses ``binary_auc``'s
+    bucketed no-single-task ranking, so the plan stays scale-safe; pair
+    count is K(K-1)/2 — class-count-sized, never data-sized.
+    """
+    counts = {
+        str(r[truth_col]): r["count"]
+        for r in pred.groupBy(truth_col).count().collect()
+    }
+    present = [c for c in class_levels if counts.get(str(c), 0) > 0]
+    if len(present) < 2:
+        return float("nan")
+    idx = {c: i for i, c in enumerate(class_levels)}
+    total, npairs = 0.0, 0
+    for a_pos in range(len(present)):
+        for b_pos in range(a_pos + 1, len(present)):
+            ci, cj = present[a_pos], present[b_pos]
+            sub = pred.filter(F.col(truth_col).isin([ci, cj]))
+            a_ij = binary_auc(
+                sub.withColumn("__pij", F.col(probs_col)[idx[ci]]),
+                truth_col, "__pij", ci, n_buckets,
+            )
+            a_ji = binary_auc(
+                sub.withColumn("__pji", F.col(probs_col)[idx[cj]]),
+                truth_col, "__pji", cj, n_buckets,
+            )
+            total += (a_ij + a_ji) / 2
+            npairs += 1
+    return float(total / npairs)
 
 
 def midrank_frame(

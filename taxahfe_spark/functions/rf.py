@@ -51,14 +51,18 @@ def _bin_features(X: np.ndarray) -> np.ndarray:
 
 
 def _best_splits_classification(
-    c: np.ndarray, yrows: np.ndarray, gi: np.ndarray, sizes: np.ndarray, n_classes: int
+    c: np.ndarray, yrows: np.ndarray, gi: np.ndarray, sizes: np.ndarray,
+    n_classes: int, min_child: int = 1,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Best gini decrease for EVERY group at once.
 
     c: (A, m) bin codes of each active slot's candidate features; yrows: (A,)
     class codes; gi: (A,) compact group index; sizes: (S,) group sizes.
     Returns (dec, m_idx, thr_bin) arrays of shape (S,); dec <= 0 means no
-    valid split.
+    valid split. ``min_child`` (default 1 = legacy behavior) invalidates
+    splits whose smaller child would hold fewer rows — pyspark.ml's
+    ``minInstancesPerNode`` child-size semantics, used by the predictive
+    forest (the importance kernel keeps the node-size-only rule).
     """
     A, m = c.shape
     S = len(sizes)
@@ -82,7 +86,7 @@ def _best_splits_classification(
         tot1 = c1[:, :, -1:]
         nr = sizes[:, None, None] - nl
         nr1 = tot1 - nl1
-        valid = (nl > 0) & (nr > 0)
+        valid = (nl >= min_child) & (nr >= min_child)
         gl = nl - (nl1**2 + (nl - nl1) ** 2) / np.where(nl > 0, nl, 1)
         gr = nr - (nr1**2 + (nr - nr1) ** 2) / np.where(nr > 0, nr, 1)
         g1 = tot1[:, 0, 0]
@@ -104,7 +108,7 @@ def _best_splits_classification(
     nl = left.sum(axis=3)
     nr = sizes[:, None, None] - nl
     total = cnt.sum(axis=2)  # (S, m, C) — identical across m
-    valid = (nl > 0) & (nr > 0)
+    valid = (nl >= min_child) & (nr >= min_child)
     right = total[:, :, None, :] - left
     gl = nl - (left**2).sum(axis=3) / np.where(nl > 0, nl, 1)
     gr = nr - (right**2).sum(axis=3) / np.where(nr > 0, nr, 1)
@@ -119,7 +123,8 @@ def _best_splits_classification(
 
 
 def _best_splits_regression(
-    c: np.ndarray, yrows: np.ndarray, gi: np.ndarray, sizes: np.ndarray
+    c: np.ndarray, yrows: np.ndarray, gi: np.ndarray, sizes: np.ndarray,
+    min_child: int = 1,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Best SSE decrease for EVERY group at once (see classification)."""
     A, m = c.shape
@@ -142,7 +147,7 @@ def _best_splits_regression(
     tot = lsum[:, :, -1:]
     nl = lcnt
     nr = sizes[:, None, None] - nl
-    valid = (nl > 0) & (nr > 0)
+    valid = (nl >= min_child) & (nr >= min_child)
     gain = lsum**2 / np.where(nl > 0, nl, 1) + (tot - lsum) ** 2 / np.where(
         nr > 0, nr, 1
     )
@@ -230,9 +235,19 @@ def forest_importance(
 
 def _grow_tree_block(
     rng, T, n, P, p, m_eff, min_size, base_codes, yv, classification,
-    n_classes, corrected, max_depth, imp,
+    n_classes, corrected, max_depth, imp, rec=None, min_child=1,
 ) -> None:
-    """Grow one block of T trees level-synchronously, accumulating into imp."""
+    """Grow one block of T trees level-synchronously, accumulating into imp.
+
+    ``rec``: when a list is passed (predictive ``forest_fit`` path, requires
+    corrected=False), one entry per depth is appended:
+    ``(leaf_keys, leaf_vals, split_keys, split_feat, split_thr)`` — keys are
+    the walker's own (tree << (depth+1)) | node encoding, sorted ascending,
+    leaf_vals are class distributions (L, C) or means (L,). A final
+    depth-cap leaf level is appended for slots that survive max_depth.
+    ``min_child`` feeds the split search's child-size floor (pyspark.ml
+    minInstancesPerNode semantics); the importance kernel keeps 1.
+    """
     # all randomness per block, in a fixed order: bootstraps, one shadow
     # permutation per tree, then one feature-subset draw per depth
     boot = rng.integers(0, n, (T, n))

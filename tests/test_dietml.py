@@ -140,6 +140,73 @@ def test_binary_auc_matches_numpy_oracle(spark):
     assert out["roc_auc"] == pytest.approx(expect)
 
 
+def test_hand_till_multiclass_auc(spark):
+    """Hand-Till M vs an independent numpy pairwise-midrank-AUC oracle
+    (yardstick roc_auc multiclass default, ref lib/diet_ml_funcs.R:963)."""
+    from taxahfe_spark.functions.metrics import hand_till_auc
+
+    rng = np.random.default_rng(11)
+    levels = ["a", "b", "c"]
+    n = 180
+    truth = rng.choice(levels, n)
+    # quantized probs -> heavy ties, the RF/GBT regime
+    raw = rng.integers(1, 8, (n, 3)).astype(float)
+    # bias toward the true class so AUC is informative, then renormalize
+    raw[np.arange(n), [levels.index(t) for t in truth]] += rng.integers(0, 6, n)
+    probs = np.round(raw / raw.sum(axis=1, keepdims=True), 2)
+    df = spark.createDataFrame(
+        [
+            (str(t), [float(x) for x in p], str(levels[int(np.argmax(p))]))
+            for t, p in zip(truth, probs)
+        ],
+        "truth string, probs array<double>, estimate string",
+    )
+
+    def np_auc(scores, is_pos):
+        ranks = pd.Series(scores).rank(method="average").to_numpy()
+        npos = int(is_pos.sum())
+        nneg = len(is_pos) - npos
+        return (ranks[is_pos].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+
+    total = 0.0
+    pairs = 0
+    for i in range(3):
+        for j in range(i + 1, 3):
+            mask = (truth == levels[i]) | (truth == levels[j])
+            a_ij = np_auc(probs[mask, i], truth[mask] == levels[i])
+            a_ji = np_auc(probs[mask, j], truth[mask] == levels[j])
+            total += (a_ij + a_ji) / 2
+            pairs += 1
+    expect = total / pairs
+
+    got = hand_till_auc(df, "truth", "probs", levels)
+    assert got == pytest.approx(expect)
+    # and via the metric-set entry point
+    out = classification_metrics(df, probs_col="probs", class_levels=levels)
+    assert out["roc_auc"] == pytest.approx(expect)
+
+
+def test_hand_till_drops_absent_levels(spark):
+    """Levels with zero truth observations are dropped before pairing
+    (yardstick warns + drops): a 3-level problem whose data covers only 2
+    levels degrades to the binary midrank AUC of the observed pair."""
+    from taxahfe_spark.functions.metrics import binary_auc, hand_till_auc
+
+    rows = [
+        ("a", [0.7, 0.2, 0.1]),
+        ("a", [0.5, 0.3, 0.2]),
+        ("b", [0.4, 0.5, 0.1]),
+        ("b", [0.1, 0.8, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "truth string, probs array<double>")
+    got = hand_till_auc(df, "truth", "probs", ["a", "b", "c"])
+    from pyspark.sql import functions as F
+
+    a_ij = binary_auc(df.withColumn("p", F.col("probs")[0]), "truth", "p", "a")
+    a_ji = binary_auc(df.withColumn("p", F.col("probs")[1]), "truth", "p", "b")
+    assert got == pytest.approx((a_ij + a_ji) / 2)
+
+
 # -- split / folds (M2-M4) ----------------------------------------------------
 
 
