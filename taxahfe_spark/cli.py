@@ -114,6 +114,10 @@ def _add_ml_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--parallel_workers", type=int, default=1)
     p.add_argument("--shap", action="store_true")
     p.add_argument("--summarized_levels", action="store_true")
+    # tidymodels-fidelity mode: re-estimate the recipe inside every
+    # (repeat, fold) instead of once per training split (see run_dietml's
+    # leakage contract note); default off = the documented approximation
+    p.add_argument("--reprep_per_fold", action="store_true")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -303,6 +307,7 @@ def _dietml_kwargs(opts) -> dict:
         seed=opts.seed,
         shap=opts.shap,
         parallel_workers=int(opts.parallel_workers),
+        reprep_per_fold=bool(getattr(opts, "reprep_per_fold", False)),
     )
 
 

@@ -698,6 +698,8 @@ def run_dietml(
     shap_top_k: int = 10,
     parallel_workers: int = 1,
     tune_strategy: str = "grid",
+    local_fit_threshold: int = 20_000,
+    reprep_per_fold: bool = False,
 ) -> DietMLResult:
     """End-to-end dietML run (reference cmd/diet_ml.R:23-85 ->
     lib/diet_ml_funcs.R:16-111): split -> collinearity -> recipe -> CV grid
@@ -725,13 +727,20 @@ def run_dietml(
     deterministic (same per-(candidate, repeat) seeds). Final selection
     always uses full-budget scores only.
 
-    Leakage contract note: the recipe (collinearity, center/scale, zv, corr,
+    Leakage contract note: by default the recipe (center/scale, zv, corr,
     info-gain) is estimated ONCE on the full training split and reused in
-    every CV fold, whereas tidymodels re-preps per resample. CV scores are
-    therefore slightly optimistic in the same way for every candidate; the
-    train/test boundary itself is never crossed. This is the documented
-    approximation that keeps preprocessing one Spark job instead of
-    folds x repeats jobs.
+    every CV fold, whereas tidymodels re-preps per resample
+    (lib/diet_ml_funcs.R:686-711). CV scores are therefore slightly
+    optimistic in the same way for every candidate; the train/test boundary
+    itself is never crossed. This is the documented approximation that keeps
+    preprocessing one Spark job instead of folds x repeats jobs.
+    ``reprep_per_fold=True`` removes the approximation: every (repeat, fold)
+    fit re-estimates the recipe on ITS OWN training portion (tidymodels
+    semantics), at folds x repeats x candidates extra preprocessing jobs;
+    the collinearity (VIF) pre-filter stays split-level in both modes, as in
+    the reference's check_collinearity step. Re-prep implies the pyspark.ml
+    fit path (the small-n fast path collects the prepped frame once, which
+    a per-fold recipe by definition cannot reuse).
 
     SVM is classification-only (LinearSVC); the reference's kernlab engine
     also fits regression, which has no Spark-native analog — a regression
@@ -797,6 +806,38 @@ def run_dietml(
     train_cv = train_cv.persist()
     train_cv.count()
 
+    # small-n fast path (rf): below local_fit_threshold train rows, every CV
+    # fit runs the in-repo deterministic numpy forest (functions/rf.py
+    # forest_fit) on a driver-collected copy of the ALREADY-prepped CV frame
+    # — one toPandas of the recipe output, then zero Spark jobs per tuning
+    # fit. Rationale: a few-hundred-sample resample pays ~10-20 scheduled
+    # Spark jobs per pyspark.ml fit (the reference-scale dietML bottleneck,
+    # BENCH.md), while the histogram-CART forest fits the same frame in tens
+    # of milliseconds. The last_fit/null/SHAP stages stay pyspark.ml, the
+    # metric formulas are the shared numpy twins (classification_metrics_np
+    # reuses classification_metrics_from_cm), and the train/test + CV-fold
+    # leakage boundaries are untouched — this swaps the FIT ENGINE for
+    # sub-threshold frames, not the protocol. Above the threshold (or for
+    # non-rf models) nothing changes.
+    # per-fold re-prep keeps the RAW train rows joined to fold assignments;
+    # each fit re-runs fit_recipe on its own fold-train portion
+    train_cv_raw = None
+    if reprep_per_fold:
+        train_cv_raw = train.join(fold_df, id_col)
+        if small_parts:
+            train_cv_raw = train_cv_raw.coalesce(small_parts)
+        train_cv_raw = train_cv_raw.persist()
+        train_cv_raw.count()
+
+    local_cv = None
+    if model == "rf" and n_train <= local_fit_threshold and not reprep_per_fold:
+        local_cv = (
+            train_cv.select(id_col, "label", "repeat", "fold", *recipe.keep_cols)
+            .toPandas()
+            .sort_values(["repeat", id_col], kind="mergesort")
+            .reset_index(drop=True)
+        )  # deterministic row order -> layout-invariant bootstrap draws
+
     # -- grid tune (M7) with tune_stop / tune_time early stopping -----------
     candidates = _grid(model, tune_length, seed)
     maximize = metric in MAXIMIZE
@@ -804,12 +845,84 @@ def run_dietml(
     best_score, since_best = None, 0
     t0 = time.time()
 
+    def _mtry_count(strategy: str, p: int) -> int:
+        # featureSubsetStrategy -> feature count, pyspark.ml's mapping
+        if strategy == "sqrt":
+            return max(1, int(np.floor(np.sqrt(p))))
+        try:
+            return max(1, int(np.ceil(p * float(strategy))))
+        except ValueError:
+            return max(1, int(np.floor(np.sqrt(p))))
+
+    def fit_one_local(params: dict, ci: int, r: int, f: int) -> float:
+        """One CV fit on the driver-collected frame: numpy forest + numpy
+        metric twins. Same (candidate, repeat) seed derivation as the
+        pyspark.ml path."""
+        from taxahfe_spark.functions.metrics import (
+            classification_metrics_np,
+            regression_metrics_np,
+        )
+        from taxahfe_spark.functions.rf import forest_fit, forest_predict
+
+        sub = local_cv[local_cv["repeat"] == r]
+        tr = sub[sub["fold"] != f]
+        va = sub[sub["fold"] == f]
+        cols = recipe.keep_cols
+        Xtr = tr[cols].to_numpy(np.float64)
+        Xva = va[cols].to_numpy(np.float64)
+        cls = feature_type == "factor"
+        ytr = tr["label"].to_numpy(np.float64)
+        mdl = forest_fit(
+            Xtr,
+            ytr.astype(np.int64) if cls else ytr,
+            cls,
+            num_trees=int(params.get("num_trees", 100)),
+            mtry=_mtry_count(str(params.get("mtry", "sqrt")), len(cols)),
+            min_node=int(params.get("min_n", 1)),
+            seed=seed + 31 * ci + r,
+            n_classes=len(classes) if cls else None,
+        )
+        pred = forest_predict(mdl, Xva)
+        if cls:
+            truth = np.array([classes[int(i)] for i in va["label"].to_numpy(np.int64)])
+            est = np.array([classes[int(i)] for i in pred.argmax(axis=1)])
+            m = classification_metrics_np(
+                truth, est, probs=pred, class_levels=classes,
+                event_class=classes[0],
+            )
+        else:
+            m = regression_metrics_np(va["label"].to_numpy(np.float64), pred)
+        return m[metric]
+
     def fit_one(params: dict, ci: int, r: int, f: int) -> float:
         # one (id, fold) row per repeat: restrict to THIS repeat's
         # dealing, then hold out fold f. Seed depends on (candidate,
         # repeat) only — layout- and worker-count-invariant.
-        tr = train_cv.filter((F.col("repeat") == r) & (F.col("fold") != f))
-        va = train_cv.filter((F.col("repeat") == r) & (F.col("fold") == f))
+        if local_cv is not None:
+            return fit_one_local(params, ci, r, f)
+        if reprep_per_fold:
+            tr_raw = train_cv_raw.filter(
+                (F.col("repeat") == r) & (F.col("fold") != f)
+            )
+            va_raw = train_cv_raw.filter(
+                (F.col("repeat") == r) & (F.col("fold") == f)
+            )
+            rec_f = fit_recipe(
+                tr_raw, kept, standardize, cor_level,
+                info_gain_n=info_gain_n, label_col=label_col,
+                feature_type=feature_type,
+            )
+
+            def prep_f(d: DataFrame) -> DataFrame:
+                return _assemble(
+                    _prep_label(rec_f.transform(d), label_col, feature_type, classes),
+                    rec_f.keep_cols,
+                )
+
+            tr, va = prep_f(tr_raw), prep_f(va_raw)
+        else:
+            tr = train_cv.filter((F.col("repeat") == r) & (F.col("fold") != f))
+            va = train_cv.filter((F.col("repeat") == r) & (F.col("fold") == f))
         est = _estimator(model, feature_type, params, seed + 31 * ci + r)
         fitted = est.fit(tr)
         pred = _predict_frame(fitted, va, label_col, feature_type, classes)

@@ -255,3 +255,86 @@ def regression_metrics(
         "rsq": rsq,
         "ccc": ccc,
     }
+
+
+# -- driver-local numpy twins (dietML small-n fast path) ----------------------
+#
+# Identical formulas to the Spark aggregations above, evaluated on numpy
+# arrays. Used by run_dietml's sub-threshold CV fits, where a few-hundred-row
+# validation fold pays more in Spark job scheduling than in arithmetic; the
+# classification path REUSES classification_metrics_from_cm so the confusion
+# -matrix math literally cannot drift between the two engines.
+
+
+def _np_midrank_auc(scores: np.ndarray, is_pos: np.ndarray) -> float:
+    """Mann-Whitney midrank AUC — same formula as binary_auc."""
+    import pandas as pd
+
+    npos = int(is_pos.sum())
+    nneg = len(is_pos) - npos
+    if not npos or not nneg:
+        return float("nan")
+    ranks = pd.Series(scores).rank(method="average").to_numpy()
+    return float((ranks[is_pos].sum() - npos * (npos + 1) / 2) / (npos * nneg))
+
+
+def classification_metrics_np(
+    truth: np.ndarray,
+    estimate: np.ndarray,
+    probs: np.ndarray | None = None,
+    class_levels: list[str] | None = None,
+    event_class: str | None = None,
+) -> dict[str, float]:
+    """Local twin of classification_metrics. ``probs``: (n, K) array aligned
+    with class_levels; binary roc_auc uses the event (first-level) column,
+    3+ classes use Hand-Till with absent levels dropped."""
+    truth = np.asarray([str(t) for t in truth])
+    estimate = np.asarray([str(e) for e in estimate])
+    classes = sorted(set(truth) | set(estimate))
+    idx = {c: i for i, c in enumerate(classes)}
+    m = np.zeros((len(classes), len(classes)))
+    for t, e in zip(truth, estimate):
+        m[idx[t], idx[e]] += 1
+    out = classification_metrics_from_cm(m)
+    out["roc_auc"] = float("nan")
+    if probs is not None and class_levels:
+        if len(class_levels) == 2:
+            event = event_class or class_levels[0]
+            col = class_levels.index(event)
+            out["roc_auc"] = _np_midrank_auc(probs[:, col], truth == event)
+        elif len(class_levels) > 2:
+            present = [c for c in class_levels if (truth == c).any()]
+            if len(present) >= 2:
+                total, npairs = 0.0, 0
+                for a in range(len(present)):
+                    for b in range(a + 1, len(present)):
+                        ci, cj = present[a], present[b]
+                        mask = (truth == ci) | (truth == cj)
+                        i, j = class_levels.index(ci), class_levels.index(cj)
+                        a_ij = _np_midrank_auc(probs[mask, i], truth[mask] == ci)
+                        a_ji = _np_midrank_auc(probs[mask, j], truth[mask] == cj)
+                        total += (a_ij + a_ji) / 2
+                        npairs += 1
+                out["roc_auc"] = float(total / npairs)
+    return out
+
+
+def regression_metrics_np(truth: np.ndarray, estimate: np.ndarray) -> dict[str, float]:
+    """Local twin of regression_metrics (same moment formulas, sample ddof)."""
+    t = np.asarray(truth, dtype=np.float64)
+    e = np.asarray(estimate, dtype=np.float64)
+    n = len(t)
+    mae = float(np.abs(t - e).mean())
+    rmse = float(np.sqrt(((t - e) ** 2).mean()))
+    mt, me = float(t.mean()), float(e.mean())
+    if n > 1:
+        vt = float(((t - mt) ** 2).sum() / (n - 1))
+        ve = float(((e - me) ** 2).sum() / (n - 1))
+        cov = float(((t - mt) * (e - me)).sum() / (n - 1))
+    else:
+        vt = ve = cov = 0.0
+    vprod = vt * ve
+    rsq = float(cov**2 / vprod) if vprod > 0 else float("nan")
+    denom = vt + ve + (mt - me) ** 2
+    ccc = float(2 * cov / denom) if denom else float("nan")
+    return {"mae": mae, "rmse": rmse, "rsq": rsq, "ccc": ccc}

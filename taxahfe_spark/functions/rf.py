@@ -280,9 +280,18 @@ def _grow_tree_block(
             var = np.maximum(s2 / sizes - (s1 / sizes) ** 2, 0.0)
             stopped = np.sqrt(var) <= 1e-15
         stopped |= sizes < min_size
+        if rec is not None:
+            node_vals = (
+                cls / sizes[:, None] if classification else s1 / sizes
+            )  # per-group leaf value if the group terminates here
         splittable = ~stopped
         sg = np.flatnonzero(splittable)
         if sg.size == 0:
+            if rec is not None:
+                rec.append((uniq, node_vals, uniq[:0],
+                            np.zeros(0, np.int64), np.zeros(0, np.int64)))
+                active[act] = False  # all-leaf level: nothing survives for
+                # the post-loop depth-cap pass
             break
         # per-group candidate features (drawn for all groups to keep the rng
         # stream a pure function of (seed, depth, group count))
@@ -329,11 +338,12 @@ def _grow_tree_block(
                 cb = base_codes[rows_b[:, None], fcols]
             if classification:
                 d_b, m_b, t_b = _best_splits_classification(
-                    cb, yv[rows_b], gi_b, sizes_s[g_lo:g_hi], n_classes
+                    cb, yv[rows_b], gi_b, sizes_s[g_lo:g_hi], n_classes,
+                    min_child,
                 )
             else:
                 d_b, m_b, t_b = _best_splits_regression(
-                    cb, yv[rows_b], gi_b, sizes_s[g_lo:g_hi]
+                    cb, yv[rows_b], gi_b, sizes_s[g_lo:g_hi], min_child
                 )
             dec[g_lo:g_hi] = d_b
             m_idx[g_lo:g_hi] = m_b
@@ -343,6 +353,21 @@ def _grow_tree_block(
         # importance accumulation: dec / n per split (n = bootstrap size)
         f_global = feats_s[np.arange(sg.size), m_idx]
         np.add.at(imp, f_global[split_ok], dec[split_ok] / n)
+
+        if rec is not None:
+            # leaves at this depth = stopped groups + splittable groups with
+            # no valid split; masks over uniq preserve its ascending order
+            leaf_mask = stopped.copy()
+            leaf_mask[sg[~split_ok]] = True
+            rec.append(
+                (
+                    uniq[leaf_mask],
+                    node_vals[leaf_mask],
+                    uniq[sg[split_ok]],
+                    f_global[split_ok],
+                    thr[split_ok],
+                )
+            )
 
         # route slots: groups that stopped or found no valid split go
         # inactive; surviving slots descend left/right on their group's
@@ -366,3 +391,180 @@ def _grow_tree_block(
             vals = base_codes[rows_live, fc]
         go_right = (vals > thr[gi_live]).astype(np.int64)
         node_id[live] = node_id[live] * 2 + go_right
+
+    if rec is not None:
+        # depth-cap leaves: slots that survived every split round terminate
+        # with their node's distribution/mean (entry index == max_depth,
+        # key shift == entry index + 1, same scheme as in-loop levels)
+        act = np.flatnonzero(active)
+        if act.size:
+            keys = (tree_id[act] << (max_depth + 1)) | node_id[act]
+            uniq, gidx = np.unique(keys, return_inverse=True)
+            G = len(uniq)
+            sizes = np.bincount(gidx, minlength=G).astype(np.float64)
+            rows_all = sample_idx[act]
+            if classification:
+                cls = np.bincount(
+                    gidx * n_classes + yv[rows_all], minlength=G * n_classes
+                ).reshape(G, n_classes)
+                vals_cap = cls / sizes[:, None]
+            else:
+                vals_cap = (
+                    np.bincount(gidx, weights=yv[rows_all], minlength=G) / sizes
+                )
+            rec.append((uniq, vals_cap, uniq[:0],
+                        np.zeros(0, np.int64), np.zeros(0, np.int64)))
+
+
+# -- predictive forest (small-n dietML fast path) -----------------------------
+
+
+def _bin_features_edges(X: np.ndarray) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Like _bin_features but also returns the per-column edge arrays so
+    validation/test rows can be binned with the TRAINING edges."""
+    n, p = X.shape
+    codes = np.empty((n, p), dtype=np.uint8)
+    qs = np.linspace(0, 1, N_BINS + 1)[1:-1]
+    edges: list[np.ndarray] = []
+    for j in range(p):
+        col = X[:, j]
+        e = np.unique(np.quantile(col, qs))
+        codes[:, j] = np.searchsorted(e, col, side="right").astype(np.uint8)
+        edges.append(e)
+    return codes, edges
+
+
+def _apply_bins(X: np.ndarray, edges: list[np.ndarray]) -> np.ndarray:
+    n, p = X.shape
+    codes = np.empty((n, p), dtype=np.uint8)
+    for j in range(p):
+        codes[:, j] = np.searchsorted(edges[j], X[:, j], side="right").astype(
+            np.uint8
+        )
+    return codes
+
+
+class ForestModel:
+    """Structure-captured forest from ``forest_fit``: per-depth sorted key
+    tables (leaves + splits) in the level walker's (tree << (depth+1)) | node
+    encoding, plus the training bin edges. Driver-side object, sized by node
+    count — never data-sized."""
+
+    __slots__ = (
+        "classification", "n_classes", "num_trees", "max_depth",
+        "edges", "levels", "importance",
+    )
+
+    def __init__(self, classification, n_classes, num_trees, max_depth,
+                 edges, levels, importance):
+        self.classification = classification
+        self.n_classes = n_classes
+        self.num_trees = num_trees
+        self.max_depth = max_depth
+        self.edges = edges
+        self.levels = levels
+        self.importance = importance
+
+
+def forest_fit(
+    X: np.ndarray,
+    y: np.ndarray,
+    classification: bool,
+    num_trees: int = 100,
+    mtry: int | None = None,
+    min_node: int = 1,
+    seed: int = 0,
+    max_depth: int = 16,
+    n_classes: int | None = None,
+) -> ForestModel:
+    """Predictive random forest on the SAME level-synchronous histogram
+    engine as ``forest_importance`` (bootstrap n-of-n, per-depth fused split
+    search), but with tree structure captured for ``forest_predict``.
+
+    Built for the dietML small-n fast path (reference run_dietML's per-fold
+    ranger/tidymodels fits, lib/diet_ml_funcs.R:686-760): a few-hundred-row
+    CV frame pays more in Spark job scheduling than in compute, so
+    sub-threshold fits run this kernel on the driver while large frames keep
+    pyspark.ml. ``min_node`` uses pyspark.ml's minInstancesPerNode CHILD
+    semantics (both children >= min_node); classification leaves carry class
+    distributions so predictions expose per-class probabilities for the
+    roc_auc metrics.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    n, p = X.shape
+    rng = np.random.default_rng(seed)
+    if classification:
+        if n_classes is not None:
+            # caller-supplied label space: y is ALREADY integer class codes
+            # in [0, n_classes). Required by CV callers — a fold missing one
+            # class must still emit probability rows aligned to the full
+            # class list, which np.unique re-encoding would silently shift.
+            yv = np.asarray(y, dtype=np.int64)
+        else:
+            _, y_enc = np.unique(y, return_inverse=True)
+            n_classes = int(y_enc.max()) + 1
+            yv = y_enc.astype(np.int64)
+    else:
+        yv = np.asarray(y, dtype=np.float64)
+        n_classes = 0
+    codes, edges = _bin_features_edges(X)
+    if mtry is None:
+        mtry = max(1, int(np.floor(np.sqrt(p))))
+    m_eff = min(mtry, p)
+    min_size = max(2, 2 * min_node)  # a node smaller than 2*min_child can
+    # never produce two valid children — skip its split search entirely
+    imp = np.zeros(p)
+    rec: list = []
+    _grow_tree_block(
+        rng, num_trees, n, p, p, m_eff, min_size, codes, yv, classification,
+        n_classes, False, max_depth, imp, rec=rec, min_child=max(1, min_node),
+    )
+    return ForestModel(
+        classification, n_classes, num_trees, max_depth, edges, rec,
+        imp / num_trees,
+    )
+
+
+def forest_predict(model: ForestModel, X: np.ndarray) -> np.ndarray:
+    """Predictions for X: classification -> (n, n_classes) averaged leaf
+    class distributions (argmax = predicted class, ties to the lowest
+    index — pyspark.ml's argmax rule); regression -> (n,) mean of per-tree
+    leaf means. Fully vectorized level walk: every (tree, row) slot descends
+    one depth per pass via searchsorted into the sorted key tables."""
+    X = np.asarray(X, dtype=np.float64)
+    nv = X.shape[0]
+    codes = _apply_bins(X, model.edges)
+    T = model.num_trees
+    tree = np.repeat(np.arange(T, dtype=np.int64), nv)
+    row = np.tile(np.arange(nv, dtype=np.int64), T)
+    node = np.zeros(T * nv, dtype=np.int64)
+    active = np.ones(T * nv, dtype=bool)
+    if model.classification:
+        out = np.zeros((T * nv, model.n_classes))
+    else:
+        out = np.zeros(T * nv)
+    for depth, (lk, lv, sk, sf, st) in enumerate(model.levels):
+        act = np.flatnonzero(active)
+        if act.size == 0:
+            break
+        keys = (tree[act] << (depth + 1)) | node[act]
+        if len(lk):
+            li = np.searchsorted(lk, keys)
+            li_c = np.minimum(li, len(lk) - 1)
+            isleaf = lk[li_c] == keys
+            leaf_slots = act[isleaf]
+            out[leaf_slots] = lv[li_c[isleaf]]
+            active[leaf_slots] = False
+        else:
+            isleaf = np.zeros(len(keys), dtype=bool)
+        rest = act[~isleaf]
+        if rest.size == 0:
+            continue
+        si = np.searchsorted(sk, keys[~isleaf])
+        feat = sf[si]
+        thr = st[si]
+        vals = codes[row[rest], feat]
+        node[rest] = node[rest] * 2 + (vals > thr).astype(np.int64)
+    if model.classification:
+        return out.reshape(T, nv, model.n_classes).mean(axis=0)
+    return out.reshape(T, nv).mean(axis=0)

@@ -308,3 +308,33 @@ def test_corr_only_mode_deterministic_collapse(spark):
     # leaf auto-wins, no RF losses anywhere, fully deterministic
     assert not s["lost_rf"].any()
     assert not s["sf_winner"].any()
+
+
+def test_collapse_matches_frozen_golden(spark):
+    """Drift gate for the constant-VALUES driver oracle: the full RF collapse
+    at sf0.01 must reproduce the committed golden bit-for-bit (the engine is
+    seed-deterministic, so any diff is a semantic change — regenerate with
+    tools/regen_golden.py ONLY when intentional)."""
+    import gzip
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "taxahfe_spark", "golden", "hfe_collapse_sf001.json.gz",
+    )
+    if not os.path.exists("/root/testdata/sf0.01"):
+        pytest.skip("driver testdata not present")
+    import __spark_entry__ as em
+
+    df = em.q_hfe_collapse(spark, "/root/testdata/sf0.01")
+    with gzip.open(path, "rt") as f:
+        g = json.load(f)
+    assert df.columns == g["columns"]
+    rows = [[r[c] for c in df.columns] for r in df.collect()]
+    rows.sort(key=lambda x: str(x[0]))
+    assert len(rows) == len(g["rows"])
+    for got, want in zip(rows, g["rows"]):
+        assert got[0] == want[0]
+        for gv, wv in zip(got[1:], want[1:]):
+            assert gv == pytest.approx(wv, abs=1e-9)

@@ -1,0 +1,32 @@
+"""Regenerate the frozen hfe_collapse golden (constant-VALUES oracle input).
+
+The full RF collapse is bit-deterministic at fixed seed (see
+tests/test_competition.py determinism suite), so its sf0.01 output can be
+frozen and served to the driver's correctness gate as a VALUES table
+(__spark_entry__._hfe_collapse_oracle). Re-run this after ANY intentional
+change to collapse semantics, then re-run
+pytest tests/test_competition.py -k frozen_golden.
+
+Usage: python tools/regen_golden.py
+"""
+import sys, json, gzip, os
+sys.path.insert(0, "/root/repo")
+from taxahfe_spark.session import get_spark
+import __spark_entry__ as em
+spark = get_spark("golden", master="local[8]", shuffle_partitions=8)
+df = em.q_hfe_collapse(spark, "/root/testdata/sf0.01")
+cols = df.columns
+rows = [ [r[c] for c in cols] for r in df.collect() ]
+rows.sort(key=lambda x: str(x[0]))
+print("cols:", cols[:5], "...", len(cols), "ncols")
+print("rows:", len(rows))
+print("dtypes:", df.dtypes[:6])
+os.makedirs("/root/repo/taxahfe_spark/golden", exist_ok=True)
+with gzip.open("/root/repo/taxahfe_spark/golden/hfe_collapse_sf001.json.gz", "wt") as f:
+    json.dump({"columns": cols, "types": [t for _, t in df.dtypes], "rows": rows}, f)
+# second run for determinism check
+df2 = em.q_hfe_collapse(spark, "/root/testdata/sf0.01")
+rows2 = [ [r[c] for c in cols] for r in df2.collect() ]
+rows2.sort(key=lambda x: str(x[0]))
+print("deterministic:", rows == rows2)
+spark.stop()
