@@ -77,3 +77,53 @@ def test_streaming_sessions_match_batch(spark, sf_dir, tmp_path):
     assert len(g) == len(e)
     assert (g["n_events"].to_numpy() == e["n_events"].to_numpy()).all()
     assert (g["session_end"].to_numpy() == e["session_end"].to_numpy()).all()
+
+
+def test_iceberg_ddl_partition_contract(spark):
+    """Mocked-catalog contract test for the Iceberg layout claims (the
+    runtime jar is not fetchable in this sandbox — no network): vanilla
+    Spark's v2 DDL parser validates ICEBERG_TABLE_DDL syntactically and the
+    parsed plan must carry EXACTLY the claimed partition transforms —
+    days(ts) for as-of time-range pruning and bucket(64, doc_id) for
+    co-located point-in-time joins — plus the tokenized-sequence column
+    contract (BASELINE.json input_hint)."""
+    from taxahfe_spark.sources.readers import ICEBERG_TABLE_DDL
+
+    ddl = ICEBERG_TABLE_DDL.format(catalog="cat", db="db")
+    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(ddl)
+    s = plan.toString()
+    assert "days(ts)" in s
+    assert "bucket(64, doc_id)" in s
+    for col in ("doc_id", "tokens", "n_tok", "source", "ts"):
+        assert col in s
+    assert "iceberg" in s.lower()
+
+
+def test_partition_pruning_mechanism_days_layout(spark, tmp_path):
+    """Evidence for the days(ts)-pruning claim with the in-container engine:
+    the SAME physical layout (directory-partitioned by day) must show the
+    day predicate as a partition filter — scanning only the matching
+    partition — when read through read_table. Iceberg's days(ts) transform
+    prunes through the identical mechanism (partition-values metadata)."""
+    from pyspark.sql import functions as F
+
+    from taxahfe_spark.sources.readers import read_table
+
+    df = spark.range(1000).select(
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("doc_id"),
+        F.array(F.lit(1), F.lit(2)).alias("tokens"),
+        F.lit(2).alias("n_tok"),
+        F.lit("web").alias("source"),
+        F.date_add(F.lit("2026-01-01").cast("date"), (F.col("id") % 7).cast("int"))
+        .alias("day"),
+    )
+    path = str(tmp_path / "seq_days.parquet")
+    df.write.partitionBy("day").parquet(path)
+    got = read_table(spark, path, fmt="parquet").filter(F.col("day") == "2026-01-03")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the day predicate must appear among partition filters, NOT as a
+    # post-scan data filter
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("day" in ln for ln in pf)
+    assert got.count() == df.filter(F.col("day") == "2026-01-03").count()
