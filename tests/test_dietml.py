@@ -679,3 +679,32 @@ def test_reprep_per_fold_quantifies_cv_optimism(spark):
     assert not np.array_equal(a, b)
     # final fit path identical in both modes
     assert set(shared.full_results[".metric"]) == set(reprep.full_results[".metric"])
+
+
+def test_three_class_dietml_selects_on_roc_auc(spark):
+    """End-to-end 3-class run with --metric roc_auc: Hand-Till AUC must be a
+    real number in CV selection AND in the final metric table (pre-round-4
+    behavior was NaN for 3+ classes, which broke selection)."""
+    rng = np.random.default_rng(21)
+    n = 150
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.normal(0, 1, n)
+    score = x1 + 0.5 * x2 + rng.normal(0, 0.8, n)
+    label = np.where(score < -0.5, "lo", np.where(score > 0.5, "hi", "mid"))
+    rows = [
+        (f"s{i:03d}", str(label[i]), float(x1[i]), float(x2[i]))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subject_id string, feature_of_interest string, x1 double, x2 double",
+    )
+    res = run_dietml(
+        df, feature_type="factor", model="rf", folds=3, cv_repeats=1,
+        tune_length=2, metric="roc_auc", seed=2, num_trees=25,
+    )
+    assert np.isfinite(res.cv_results["mean_metric"]).all()
+    assert (res.cv_results["mean_metric"] > 0.5).all()  # informative signal
+    fr = res.full_results.set_index(".metric")
+    assert np.isfinite(fr.loc["roc_auc", "estimate"])
+    assert fr.loc["roc_auc", "estimate"] > 0.5
