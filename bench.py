@@ -16,9 +16,35 @@ import sys
 import time
 
 
+def _materialize(df) -> int:
+    """Fully evaluate a query result and return its row count.
+
+    NOT ``df.count()``: under count() Catalyst prunes every column and with
+    them entire operator pipelines — the asof/window family's count plan is
+    literally a bare parquet row scan (verified round 4: optimizedPlan of
+    ``asof_join(...).groupBy().count()`` contains no Window at all), so a
+    timed count can measure nothing. Hashing EVERY output column per row
+    and summing the hashes forces full evaluation; map-typed columns (not
+    hashable in Spark) go through to_json first. The count rides along in
+    the same single pass.
+    """
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.to_json(F.col(c)) if t.startswith("map") else F.col(c)
+        for c, t in df.dtypes
+    ]
+    row = (
+        df.select(F.xxhash64(*cols).alias("__h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.bit_xor("__h").alias("h"))
+        .first()
+    )  # bit_xor, not sum: ANSI mode raises on int64 sum overflow
+    return int(row["n"])
+
+
 def _suite(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
     """name -> (seconds, output_rows). Each query is fully materialized via
-    a count over the final frame (no driver collect of data)."""
+    the all-columns hash sum (_materialize — no driver collect of data)."""
     import __spark_entry__ as em
 
     headline = [
@@ -63,7 +89,7 @@ def _suite(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
     out: dict[str, tuple[float, int]] = {}
     for name in headline:
         t0 = time.time()
-        rows = qs[name](spark, sf_dir).count()
+        rows = _materialize(qs[name](spark, sf_dir))
         print(
             f"# {name}: warmup {time.time() - t0:.3f}s",
             file=sys.stderr,
@@ -80,7 +106,7 @@ def _suite(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
 
             gc.collect()
             t0 = time.time()
-            rows = qs[name](spark, sf_dir).count()
+            rows = _materialize(qs[name](spark, sf_dir))
             times.append(time.time() - t0)
         times.sort()
         med = times[len(times) // 2] if reps % 2 else (
@@ -119,33 +145,51 @@ def _scaling_suite(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
     from taxahfe_spark.tokens import build_vocab, token_count_rollup, tokenize, words
 
     par = spark.sparkContext.defaultParallelism
-    # BENCH_SCALE_MULT multiplies every replication factor: at MULT>=4 the
-    # per-query work is tens of seconds and fixed job latency amortizes —
-    # the regime the north rule's eta>=0.8 criterion describes (the default
-    # sf0.1 suite is latency-floored at 1-2s/query on 32 cores).
+    # Per-input replication multipliers: each query class costs wildly
+    # different amounts per replicated row (a minhash doc is ~1000x an asof
+    # event), so ONE global knob cannot put every query in the 15-60s
+    # measurement band at the low-parallelism leg — the round-4 fix after a
+    # global MULT=6 made windows measurable but pushed minhash at local[2]
+    # to ~20 min/rep. BENCH_SCALE_MULT still scales everything (legacy);
+    # BENCH_SCALE_MULT_{WINDOWS,DOCS,EMB} override per class.
     mult = int(os.environ.get("BENCH_SCALE_MULT", "1"))
+    wmult = int(os.environ.get("BENCH_SCALE_MULT_WINDOWS", str(8 * mult)))
+    dmult = int(os.environ.get("BENCH_SCALE_MULT_DOCS", str(mult)))
+    emult = int(os.environ.get("BENCH_SCALE_MULT_EMB", str(2 * mult)))
 
-    def rep(df, n, id_cols):
+    def rep(df, n, id_cols, mult=1):
         n = n * mult
-        out = df.withColumn("__k", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+        # respread the NARROW base table BEFORE the explode: repartitioning
+        # the replicated stream afterwards (the pre-round-4 shape) both
+        # bottlenecked generation on the parquet's few input tasks AND
+        # shuffled the full n-times stream — a harness artifact that capped
+        # measured asof scaling at ~1.2x for 4x cores. Exploding an already-
+        # par-way-partitioned input generates in parallel with no big shuffle.
+        out = df.repartition(par).withColumn(
+            "__k", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+        )
         for c in id_cols:
             out = out.withColumn(c, F.col(c) * n + F.col("__k"))
-        # explode keeps the input's partitioning: a single-file parquet would
-        # feed every downstream stage from ONE task without this respread
-        return out.drop("__k").repartition(par)
+        return out.drop("__k")
 
-    ev = rep(spark.read.parquet(f"{sf_dir}/events.parquet"), 64, ["event_id"]).withColumn(
+    ev = rep(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), 64, ["event_id"], wmult
+    ).withColumn(
         "ts", F.col("ts") + F.make_interval(secs=F.col("event_id") % 60)
-    )  # 6.4M events
+    )  # 6.4M events x wmult
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     snap = orders.groupBy(
         F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("snap_ts")
     ).agg(F.max("o_totalprice").alias("o_totalprice"))
-    li = rep(spark.read.parquet(f"{sf_dir}/lineitem.parquet"), 8, [])  # 4.8M rows
+    li = rep(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), 8, [], wmult
+    )  # 4.8M rows x wmult
     docs = rep(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), 20, ["doc_id"]
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), 20, ["doc_id"], dmult
     ).withColumn("text", F.concat("text", F.lit(" rep"), (F.col("doc_id") % 20).cast("string")))
-    emb = rep(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), 40, ["vec_id"])
+    emb = rep(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), 40, ["vec_id"], emult
+    )
     su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     na = spark.read.parquet(f"{sf_dir}/nation.parquet")
     re_ = spark.read.parquet(f"{sf_dir}/region.parquet")
@@ -203,7 +247,7 @@ def _scaling_suite(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
         best, rows = None, 0
         for _rep in range(reps):  # warm run wins: isolates steady-state compute
             t0 = _t.time()
-            rows = fn().count()
+            rows = _materialize(fn())
             dt = _t.time() - t0
             best = dt if best is None else min(best, dt)
         out[name] = (round(best, 3), rows)
