@@ -294,8 +294,15 @@ def _collapse(spark, sf_dir: str):
 def run_once(cpus: int, sf_dir: str, scaling: bool = False) -> dict:
     from taxahfe_spark.session import get_spark
 
+    # scaling legs use a CONSTANT data-sized shuffle partition count: on a
+    # real N -> 4N cluster the partition count is sized for the DATA and
+    # held fixed while executors scale, so the proxy must too (max(8, cpus)
+    # gave the two legs different task decompositions AND let rep-to-rep
+    # sort-state pile up at 8 wide partitions - measured 24 -> 62 s rep
+    # degradation on the 51M-row asof at shuffle=8, stable at 64)
+    shuf = 64 if scaling else max(8, cpus)
     spark = get_spark(
-        f"bench_{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(8, cpus)
+        f"bench_{cpus}", master=f"local[{cpus}]", shuffle_partitions=shuf
     )
     try:
         # warm the JVM/Python-worker pools so the measurement is steady-state
