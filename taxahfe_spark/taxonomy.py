@@ -159,6 +159,25 @@ def hierarchical_rollup(
         # taxonomy-sized (<=1e5), not data-sized
         obs_paths_by_level.setdefault(r["level"], []).append(r["path"])
 
+    # which parents are actually MISSING per level, precomputed from path
+    # strings alone (taxonomy-sized, pure driver arithmetic): resolved
+    # paths at lvl = observed(lvl) + missing parents of resolved(lvl+1).
+    # The per-level rollup only needs to aggregate the children of MISSING
+    # parents — a fully-observed level (the common case for well-formed
+    # taxonomies) costs zero shuffle instead of a whole-level groupBy whose
+    # every output row the old anti-join then discarded.
+    def _parent(p: str) -> str | None:
+        # exact mirror of parent_path(): any "|" present -> strip the last
+        # segment (a pathological leading-pipe path yields "")
+        return p[: p.rfind("|")] if "|" in p else None
+
+    missing_by_level: dict[int, set[str]] = {}
+    resolved_paths = set(obs_paths_by_level.get(max_level, []))
+    for lvl in range(max_level - 1, 0, -1):
+        parents = {q for q in (_parent(p) for p in resolved_paths) if q}
+        missing_by_level[lvl] = parents - set(obs_paths_by_level.get(lvl, []))
+        resolved_paths = set(obs_paths_by_level.get(lvl, [])) | missing_by_level[lvl]
+
     resolved_per_level: list[DataFrame] = []
     current = observed.filter(F.col("level") == max_level).withColumn(
         "observed", F.lit(True)
@@ -173,28 +192,34 @@ def hierarchical_rollup(
 
     for lvl in range(max_level - 1, 0, -1):
         child = resolved_per_level[-1]
-        # roll children up one level; parent derived from the path string so
-        # no join is needed to find it
-        rolled = (
-            child.withColumn("path", parent_path("path"))
-            .filter(F.col("path").isNotNull())
-            .groupBy("path", "entity_id")
-            .agg(F.sum("value").alias("value"))
-            .withColumn("level", F.lit(lvl))
-            .withColumn("observed", F.lit(False))
-        )
-        obs_paths_lvl = obs_paths_by_level.get(lvl, [])
-        if obs_paths_lvl:
-            # observed wins: input rows override the rollup at node
-            # granularity. Broadcast anti-join, not a literal IN-list — a
-            # 10^5-path isin builds a megabyte expression tree re-parsed
-            # per level.
-            obs_df = spark.createDataFrame([(p,) for p in obs_paths_lvl], ["path"])
-            rolled = rolled.join(F.broadcast(obs_df), "path", "left_anti")
         obs_lvl = observed.filter(F.col("level") == lvl).withColumn(
             "observed", F.lit(True)
         )
-        current = obs_lvl.unionByName(rolled.select(*obs_lvl.columns))
+        missing = missing_by_level.get(lvl, set())
+        if not missing:
+            # every parent at this level is observed: the old shape ran a
+            # whole-level groupBy and anti-joined away 100% of its output
+            current = obs_lvl
+        else:
+            # roll up ONLY the children of missing parents (broadcast
+            # semi-join on the taxonomy-sized missing set — not an IN-list:
+            # a 10^5-path isin builds a megabyte expression tree re-parsed
+            # per level). Parent derived from the path string, no join to
+            # find it; the old observed-wins anti-join is unnecessary
+            # because the aggregation now produces missing parents only.
+            miss_df = spark.createDataFrame(
+                [(p,) for p in sorted(missing)], ["path"]
+            )
+            rolled = (
+                child.withColumn("path", parent_path("path"))
+                .filter(F.col("path").isNotNull())
+                .join(F.broadcast(miss_df), "path", "left_semi")
+                .groupBy("path", "entity_id")
+                .agg(F.sum("value").alias("value"))
+                .withColumn("level", F.lit(lvl))
+                .withColumn("observed", F.lit(False))
+            )
+            current = obs_lvl.unionByName(rolled.select(*obs_lvl.columns))
         if checkpoint:
             current = current.localCheckpoint(eager=False)
         resolved_per_level.append(current)
