@@ -201,20 +201,26 @@ def hierarchical_rollup(
             # whole-level groupBy and anti-joined away 100% of its output
             current = obs_lvl
         else:
-            # roll up ONLY the children of missing parents (broadcast
-            # semi-join on the taxonomy-sized missing set — not an IN-list:
-            # a 10^5-path isin builds a megabyte expression tree re-parsed
-            # per level). Parent derived from the path string, no join to
-            # find it; the old observed-wins anti-join is unnecessary
-            # because the aggregation now produces missing parents only.
-            miss_df = spark.createDataFrame(
-                [(p,) for p in sorted(missing)], ["path"]
+            # roll up ONLY the children of missing parents. Parent derived
+            # from the path string, no join to find it; the old
+            # observed-wins anti-join is unnecessary because the
+            # aggregation now produces missing parents only.
+            parents = child.withColumn("path", parent_path("path")).filter(
+                F.col("path").isNotNull()
             )
+            if obs_paths_by_level.get(lvl):
+                # partially observed level: broadcast semi-join on the
+                # taxonomy-sized missing set (not an IN-list — a 10^5-path
+                # isin builds a megabyte expression tree re-parsed per
+                # level) prunes the children to the needed subtrees
+                miss_df = spark.createDataFrame(
+                    [(p,) for p in sorted(missing)], ["path"]
+                )
+                parents = parents.join(F.broadcast(miss_df), "path", "left_semi")
+            # else: NOTHING at this level is observed — every parent is
+            # missing, the semi-join would pass 100% of rows; skip it
             rolled = (
-                child.withColumn("path", parent_path("path"))
-                .filter(F.col("path").isNotNull())
-                .join(F.broadcast(miss_df), "path", "left_semi")
-                .groupBy("path", "entity_id")
+                parents.groupBy("path", "entity_id")
                 .agg(F.sum("value").alias("value"))
                 .withColumn("level", F.lit(lvl))
                 .withColumn("observed", F.lit(False))
