@@ -273,9 +273,19 @@ def minhash_dedup(
 def connected_components(
     pairs: DataFrame, max_iters: int = 10
 ) -> DataFrame:
-    """Cluster ids for duplicate pairs (a,b) via iterative min-label
-    propagation; returns (id, cluster). Converges in O(log n) rounds for
-    typical near-dup cluster shapes; each round is two shuffles."""
+    """Cluster ids for duplicate pairs (a,b) via min-label propagation WITH
+    pointer shortcutting; returns (id, cluster).
+
+    Each round does (1) neighbor-min over the symmetric edge set and (2) a
+    shortcut step (cluster := its own cluster's cluster — the pointer-
+    doubling idiom from large-star/small-star CC), so label depth halves
+    per round and convergence is O(log diameter) instead of O(diameter).
+    Without the shortcut, a duplicate CHAIN longer than max_iters hops
+    (common in crawl data: near-dup a~b~c~... with no direct a~c pair)
+    silently returned unconverged labels; with it, a 2^max_iters-long chain
+    converges. Each round is three bounded shuffles over id-sized frames;
+    localCheckpoint truncates the iterative lineage.
+    """
     edges = pairs.select("a", "b").unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -294,6 +304,21 @@ def connected_components(
                 "id",
                 F.least(
                     F.col("cluster"), F.coalesce("nbr_min", F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        # shortcut: follow the label pointer one hop (cluster of cluster);
+        # a cluster id always exists as an id (labels seeded from BOTH edge
+        # endpoints), so the left join only misses already-root labels
+        l2 = new.select(
+            F.col("id").alias("c_id"), F.col("cluster").alias("c_cluster")
+        )
+        new = (
+            new.join(l2, new.cluster == l2.c_id, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce("c_cluster", F.col("cluster"))
                 ).alias("cluster"),
             )
         )

@@ -407,3 +407,19 @@ def test_legacy_v1_and_oudah_sinks(spark, tmp_path):
     assert taxa.shape == (3, 4)  # index + 3 level columns, 3 leaf rows
     assert otu.shape == (3, 3)  # index + 2 entity columns
     assert lab == ["label", "hi", "lo"]
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A duplicate CHAIN much longer than max_iters must still converge:
+    pointer shortcutting makes label depth halve per round (O(log diameter)),
+    so a 600-node path graph resolves to one cluster well within the default
+    10 rounds (pure min-propagation would need 600)."""
+    from taxahfe_spark.operators.dedup import connected_components
+
+    n = 600
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    cc = {r["id"]: r["cluster"] for r in connected_components(pairs).collect()}
+    assert len(cc) == n
+    assert set(cc.values()) == {0}
