@@ -846,13 +846,16 @@ def run_dietml(
     t0 = time.time()
 
     def _mtry_count(strategy: str, p: int) -> int:
-        # featureSubsetStrategy -> feature count, pyspark.ml's mapping
+        # featureSubsetStrategy -> feature count, pyspark.ml's mapping.
+        # spark-mllib DecisionTreeMetadata uses math.sqrt(p).ceil for
+        # "sqrt" (NOT ranger's floor — functions/rf.py's None-default keeps
+        # floor for the ranger-parity competition path).
         if strategy == "sqrt":
-            return max(1, int(np.floor(np.sqrt(p))))
+            return max(1, int(np.ceil(np.sqrt(p))))
         try:
             return max(1, int(np.ceil(p * float(strategy))))
         except ValueError:
-            return max(1, int(np.floor(np.sqrt(p))))
+            return max(1, int(np.ceil(np.sqrt(p))))
 
     def fit_one_local(params: dict, ci: int, r: int, f: int) -> float:
         """One CV fit on the driver-collected frame: numpy forest + numpy
@@ -894,6 +897,44 @@ def run_dietml(
             m = regression_metrics_np(va["label"].to_numpy(np.float64), pred)
         return m[metric]
 
+    # reprep_per_fold: the recipe depends only on (repeat, fold) — candidates
+    # share identical fold-train data (tidymodels preps once per resample,
+    # not per candidate) — so memoize the prepped tr/va frames across
+    # candidates. Lock because fits may run in a thread pool.
+    import threading
+
+    _reprep_cache: dict[tuple[int, int], tuple[DataFrame, DataFrame]] = {}
+    _reprep_lock = threading.Lock()
+
+    def _reprep_frames(r: int, f: int) -> tuple[DataFrame, DataFrame]:
+        with _reprep_lock:
+            hit = _reprep_cache.get((r, f))
+        if hit is not None:
+            return hit
+        tr_raw = train_cv_raw.filter(
+            (F.col("repeat") == r) & (F.col("fold") != f)
+        )
+        va_raw = train_cv_raw.filter(
+            (F.col("repeat") == r) & (F.col("fold") == f)
+        )
+        rec_f = fit_recipe(
+            tr_raw, kept, standardize, cor_level,
+            info_gain_n=info_gain_n, label_col=label_col,
+            feature_type=feature_type,
+        )
+
+        def prep_f(d: DataFrame) -> DataFrame:
+            return _assemble(
+                _prep_label(rec_f.transform(d), label_col, feature_type, classes),
+                rec_f.keep_cols,
+            )
+
+        pair = (prep_f(tr_raw), prep_f(va_raw))
+        with _reprep_lock:
+            # first fit wins on a race — both computed identical frames
+            pair = _reprep_cache.setdefault((r, f), pair)
+        return pair
+
     def fit_one(params: dict, ci: int, r: int, f: int) -> float:
         # one (id, fold) row per repeat: restrict to THIS repeat's
         # dealing, then hold out fold f. Seed depends on (candidate,
@@ -901,25 +942,7 @@ def run_dietml(
         if local_cv is not None:
             return fit_one_local(params, ci, r, f)
         if reprep_per_fold:
-            tr_raw = train_cv_raw.filter(
-                (F.col("repeat") == r) & (F.col("fold") != f)
-            )
-            va_raw = train_cv_raw.filter(
-                (F.col("repeat") == r) & (F.col("fold") == f)
-            )
-            rec_f = fit_recipe(
-                tr_raw, kept, standardize, cor_level,
-                info_gain_n=info_gain_n, label_col=label_col,
-                feature_type=feature_type,
-            )
-
-            def prep_f(d: DataFrame) -> DataFrame:
-                return _assemble(
-                    _prep_label(rec_f.transform(d), label_col, feature_type, classes),
-                    rec_f.keep_cols,
-                )
-
-            tr, va = prep_f(tr_raw), prep_f(va_raw)
+            tr, va = _reprep_frames(r, f)
         else:
             tr = train_cv.filter((F.col("repeat") == r) & (F.col("fold") != f))
             va = train_cv.filter((F.col("repeat") == r) & (F.col("fold") == f))

@@ -29,6 +29,7 @@ Formula parity notes (yardstick):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -132,10 +133,23 @@ def hand_till_auc(
     drops them with a warning); K is the retained level count.
 
     ``probs_col`` is an array<double> index-aligned with ``class_levels``
-    (the label-indexer order). Each pairwise AUC reuses ``binary_auc``'s
-    bucketed no-single-task ranking, so the plan stays scale-safe; pair
-    count is K(K-1)/2 — class-count-sized, never data-sized.
+    (the label-indexer order).
+
+    ONE distributed pass, not K(K-1)/2 ``binary_auc`` jobs: explode to a
+    long frame (event column c, prob p, truth t), bucket p by pooled
+    approxQuantile edges (bucket is a pure function of p, so tied probs
+    never straddle buckets), then for every row compute — per candidate
+    negative class j — the Mann-Whitney pair count it contributes,
+    ``offset(c,b,j) + range_cumsum_j − 0.5·tie_count_j``, via two shared
+    window specs partitioned by (c, bucket). A final groupBy(c, truth)
+    yields every U(i|j) simultaneously:  A(i|j) = U(i|j)/(n_i·n_j).
+    Job count is O(1) in K (quantiles + per-bucket totals + one agg);
+    driver state is (K·n_buckets·K) counts — class-count-sized.
     """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
     counts = {
         str(r[truth_col]): r["count"]
         for r in pred.groupBy(truth_col).count().collect()
@@ -144,19 +158,75 @@ def hand_till_auc(
     if len(present) < 2:
         return float("nan")
     idx = {c: i for i, c in enumerate(class_levels)}
+    pidx = [idx[c] for c in present]  # event columns we actually need
+    n_of = {c: counts[str(c)] for c in present}
+
+    # long frame: one row per (input row, present event class c)
+    long = (
+        pred.filter(F.col(truth_col).isin(list(present)))
+        .select(
+            F.col(truth_col).cast("string").alias("__t"),
+            F.posexplode(F.col(probs_col)).alias("__c", "__p"),
+        )
+        .filter(F.col("__c").isin(pidx))
+        .withColumn("__p", F.col("__p").cast("double"))
+    )
+
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = sorted(set(long.approxQuantile("__p", qs, 0.001)))
+    bucket = reduce(
+        lambda acc, e: acc + (F.col("__p") > F.lit(float(e))).cast("int"),
+        edges,
+        F.lit(0),
+    )
+    bk = long.withColumn("__b", bucket)
+
+    # per-(c, bucket, class) totals -> per-class cumulative offsets below
+    # each bucket; small (K * n_buckets * K) driver frame, broadcast back
+    tot = bk.groupBy("__c", "__b", "__t").count().collect()
+    per_cb: dict[tuple[int, int], dict[str, int]] = {}
+    for r in tot:
+        per_cb.setdefault((r["__c"], r["__b"]), {})[r["__t"]] = r["count"]
+    off_rows = []
+    for c in pidx:
+        acc = {t: 0 for t in present}
+        for b in sorted(b for (cc, b) in per_cb if cc == c):
+            off_rows.append(
+                {"__c": c, "__b": b, **{f"__off_{idx[t]}": float(acc[t]) for t in present}}
+            )
+            for t, n in per_cb[(c, b)].items():
+                acc[t] += n
+    off_df = pred.sparkSession.createDataFrame(pd.DataFrame(off_rows))
+
+    w_cum = Window.partitionBy("__c", "__b").orderBy("__p")  # RANGE ..current
+    w_tie = Window.partitionBy("__c", "__b", "__p")
+    inds = {c: (F.col("__t") == c).cast("double") for c in present}
+    with_counts = bk.join(F.broadcast(off_df), ["__c", "__b"]).select(
+        "__c",
+        "__t",
+        *[
+            (
+                F.col(f"__off_{idx[c]}")
+                + F.sum(inds[c]).over(w_cum)
+                - 0.5 * F.sum(inds[c]).over(w_tie)
+            ).alias(f"__u_{idx[c]}")
+            for c in present
+        ],
+    )
+    s_rows = (
+        with_counts.groupBy("__c", "__t")
+        .agg(*[F.sum(f"__u_{idx[c]}").alias(f"__u_{idx[c]}") for c in present])
+        .collect()
+    )
+    # S[c][a][j] = sum over class-a rows of pairs won vs class j on column c
+    S = {(r["__c"], r["__t"]): r for r in s_rows}
+
     total, npairs = 0.0, 0
     for a_pos in range(len(present)):
         for b_pos in range(a_pos + 1, len(present)):
             ci, cj = present[a_pos], present[b_pos]
-            sub = pred.filter(F.col(truth_col).isin([ci, cj]))
-            a_ij = binary_auc(
-                sub.withColumn("__pij", F.col(probs_col)[idx[ci]]),
-                truth_col, "__pij", ci, n_buckets,
-            )
-            a_ji = binary_auc(
-                sub.withColumn("__pji", F.col(probs_col)[idx[cj]]),
-                truth_col, "__pji", cj, n_buckets,
-            )
+            a_ij = S[(idx[ci], ci)][f"__u_{idx[cj]}"] / (n_of[ci] * n_of[cj])
+            a_ji = S[(idx[cj], cj)][f"__u_{idx[ci]}"] / (n_of[ci] * n_of[cj])
             total += (a_ij + a_ji) / 2
             npairs += 1
     return float(total / npairs)

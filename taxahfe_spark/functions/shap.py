@@ -166,18 +166,21 @@ def shap_mean_abs(
         scored.groupBy("row_id", "feature")
         .agg((F.sum(F.col("sign") * F.col("__pred")) / F.lit(nsim)).alias("phi"))
     )
-    from pyspark.sql import Window
-
-    ranking = (
+    # the per-feature aggregate is feature-count-sized (p rows); rank it on
+    # the driver rather than via an unpartitioned Window — same values,
+    # no single-task WindowExec stage (or its warning) in production logs
+    agg_pdf = (
         phi.groupBy("feature")
         .agg(F.avg(F.abs(F.col("phi"))).alias("mean_abs_shap"))
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.col("mean_abs_shap").desc(), F.col("feature").asc())
-            ),
+        .toPandas()
+        .sort_values(
+            ["mean_abs_shap", "feature"], ascending=[False, True], kind="mergesort"
         )
+        .reset_index(drop=True)
     )
+    agg_pdf["rank"] = np.arange(1, len(agg_pdf) + 1, dtype=np.int32)
     if top_k:
-        ranking = ranking.filter(F.col("rank") <= top_k)
-    return ranking
+        agg_pdf = agg_pdf[agg_pdf["rank"] <= top_k]
+    return spark.createDataFrame(
+        agg_pdf, "feature string, mean_abs_shap double, rank int"
+    )

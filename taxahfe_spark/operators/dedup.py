@@ -271,7 +271,7 @@ def minhash_dedup(
 
 
 def connected_components(
-    pairs: DataFrame, max_iters: int = 10
+    pairs: DataFrame, max_iters: int = 10, on_max_iters: str = "raise"
 ) -> DataFrame:
     """Cluster ids for duplicate pairs (a,b) via min-label propagation WITH
     pointer shortcutting; returns (id, cluster).
@@ -285,14 +285,27 @@ def connected_components(
     silently returned unconverged labels; with it, a 2^max_iters-long chain
     converges. Each round is three bounded shuffles over id-sized frames;
     localCheckpoint truncates the iterative lineage.
+
+    Convergence is certified: the function returns only labelings whose
+    final propagation round changed nothing. If ``max_iters`` rounds pass
+    while labels are still moving, ``on_max_iters`` decides: ``"raise"``
+    (default) raises RuntimeError — a partial labeling silently merges
+    distinct duplicate clusters downstream; ``"extend"`` keeps iterating
+    (up to 4x max_iters — with shortcutting that covers diameters up to
+    ~2^(4*max_iters), so hitting the extended cap means a logic bug, and
+    it raises).
     """
+    if on_max_iters not in ("raise", "extend"):
+        raise ValueError(f"on_max_iters must be 'raise' or 'extend', got {on_max_iters!r}")
     edges = pairs.select("a", "b").unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
         "cluster", F.col("id")
     )
-    for _ in range(max_iters):
+    converged = False
+    hard_cap = max_iters if on_max_iters == "raise" else 4 * max_iters
+    for it in range(hard_cap):
         prop = (
             edges.join(labels, edges.b == labels.id)
             .groupBy("a")
@@ -331,7 +344,15 @@ def connected_components(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {hard_cap} rounds "
+            f"(labels still changing after round {it + 1}); returning would "
+            "silently mislabel duplicate clusters. Raise max_iters or pass "
+            "on_max_iters='extend'."
+        )
     return labels
 
 

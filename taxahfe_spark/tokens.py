@@ -60,6 +60,9 @@ def build_vocab(
     counts = distinct.groupBy(pfx.alias("__p")).count().collect()
     total = sum(r["count"] for r in counts)
     if total <= small_vocab:
+        # bounded-by-construction unpartitioned window: the count() gate
+        # above proves <= small_vocab (2^18) distinct words reach this sort,
+        # so the one-task WindowExec (and its warning) is benign here
         w = Window.orderBy("word")
         return distinct.select(
             "word", (F.row_number().over(w) - 1).cast("int").alias("token_id")

@@ -423,3 +423,64 @@ def test_connected_components_long_chain_converges(spark):
     cc = {r["id"]: r["cluster"] for r in connected_components(pairs).collect()}
     assert len(cc) == n
     assert set(cc.values()) == {0}
+
+def test_connected_components_nonconvergence_raises_and_extend_recovers(spark):
+    """Convergence certificate at the boundary: a 300-node chain cannot
+    certify convergence in 2 rounds even with shortcutting, so the default
+    on_max_iters='raise' must hard-error (a partial labeling would silently
+    split one duplicate cluster into many); 'extend' (4x budget = 12 rounds,
+    reach 2^11 > 300 plus the certification round) must then converge to
+    the single true cluster."""
+    import pytest as _pytest
+
+    from taxahfe_spark.operators.dedup import connected_components
+
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=2)
+    cc = {
+        r["id"]: r["cluster"]
+        for r in connected_components(
+            pairs, max_iters=3, on_max_iters="extend"
+        ).collect()
+    }
+    assert len(cc) == n and set(cc.values()) == {0}
+
+
+def test_connected_components_random_graphs_match_networkx_free_oracle(spark):
+    """Property check on random graphs: labels equal the min id of each true
+    component, computed by an independent pure-python union-find oracle."""
+    import random
+
+    from taxahfe_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 80
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(60 + 20 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = sorted({v for e in edges for v in e})
+        expected = {v: find(v) for v in touched}
+        # oracle roots are min ids by construction (union to min)
+        pairs = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            r["id"]: r["cluster"] for r in connected_components(pairs).collect()
+        }
+        assert got == expected, f"trial {trial}"

@@ -18,6 +18,15 @@ df = em.q_hfe_collapse(spark, "/root/testdata/sf0.01")
 cols = df.columns
 rows = [ [r[c] for c in cols] for r in df.collect() ]
 rows.sort(key=lambda x: str(x[0]))
+# non-finite doubles would render as invalid SQL literals in the VALUES
+# oracle (lit(float('nan')) -> 'nan'); refuse to freeze such a golden
+import math
+for ri, row in enumerate(rows):
+    for ci, v in enumerate(row):
+        if isinstance(v, float) and not math.isfinite(v):
+            sys.exit(f"non-finite double at row {ri} col {cols[ci]}: {v!r} "
+                     "— fix upstream or extend _hfe_collapse_oracle to emit "
+                     "CAST('NaN' AS DOUBLE) literals before freezing")
 print("cols:", cols[:5], "...", len(cols), "ncols")
 print("rows:", len(rows))
 print("dtypes:", df.dtypes[:6])
