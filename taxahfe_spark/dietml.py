@@ -1018,25 +1018,129 @@ def run_dietml(
     cv_results = pd.DataFrame(rows)
     best_params = select_by_pct_loss(cv_results, metric, pct_loss, model)
 
-    # -- null model (M9) ------------------------------------------------------
-    null_m = null_model_metrics(train, test, label_col, feature_type)
+    # -- evaluation stages (M9 null model, M10 last_fit, S8 predictions) ------
+    #
+    # Small-n fast path (same gate as the CV fits): the tail stages each pay
+    # distributed-job scheduling on a few-hundred-row frame — post-tuning
+    # they dominated the flagship replica (~35-55 s measured r4). Below the
+    # threshold the final fit runs the same numpy forest as the CV fits and
+    # every metric uses the shared numpy twins (classification_metrics_np
+    # reuses classification_metrics_from_cm, so formulas cannot drift).
+    # Parity with the pyspark.ml path is PINNED EXPLICITLY in
+    # tests/test_dietml.py: identical metric-set names, identical null-model
+    # values, same-ballpark estimates; exact estimates differ because the
+    # final MODEL engine differs (numpy histogram forest vs pyspark.ml rf) —
+    # the same declared trade as the CV fast path itself.
+    if local_cv is not None:
+        from taxahfe_spark.functions.metrics import (
+            classification_metrics_np,
+            regression_metrics_np,
+        )
+        from taxahfe_spark.functions.rf import forest_fit, forest_predict
 
-    # -- last_fit (M10): best params on full train, scored on test ------------
-    final = _estimator(model, feature_type, best_params, seed).fit(train_p)
-    test_pred = _predict_frame(final, test_p, label_col, feature_type, classes)
-    final_m = _score(test_pred, feature_type, classes)
-    train_pred = _predict_frame(final, train_p, label_col, feature_type, classes)
-    train_m = _score(train_pred, feature_type, classes)
+        cols = recipe.keep_cols
+        cls = feature_type == "factor"
+        tr_pdf = (
+            local_cv[local_cv["repeat"] == 0]
+            .sort_values(id_col, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        # carry the RAW label string for test: a test-only class unseen in
+        # train encodes to null in "label" but must still appear as truth
+        # (the distributed path scores on the original string column)
+        te_pdf = (
+            test_p.select(id_col, F.col(label_col).alias("__raw"), "label", *cols)
+            .toPandas()
+            .sort_values(id_col, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        Xtr = tr_pdf[cols].to_numpy(np.float64)
+        Xte = te_pdf[cols].to_numpy(np.float64)
+        ytr = tr_pdf["label"].to_numpy(np.float64)
+        final = forest_fit(
+            Xtr,
+            ytr.astype(np.int64) if cls else ytr,
+            cls,
+            num_trees=int(best_params.get("num_trees", num_trees)),
+            mtry=_mtry_count(str(best_params.get("mtry", "sqrt")), len(cols)),
+            min_node=int(best_params.get("min_n", 1)),
+            seed=seed,
+            n_classes=len(classes) if cls else None,
+        )
 
-    # S8: raw train+test predictions (reference bind_rows + augment,
-    # lib/diet_ml_funcs.R:991-1013)
-    raw_predictions = pd.concat(
-        [
-            _raw_predictions_pdf(train_pred, feature_type, classes, "train"),
-            _raw_predictions_pdf(test_pred, feature_type, classes, "test"),
-        ],
-        ignore_index=True,
-    )
+        def _eval_local(pdf: pd.DataFrame, X: np.ndarray, tag: str):
+            pred = forest_predict(final, X)
+            if cls:
+                if "__raw" in pdf.columns:
+                    truth = pdf["__raw"].astype(str).to_numpy()
+                else:
+                    truth = np.array(
+                        [classes[int(i)] for i in pdf["label"].to_numpy(np.int64)]
+                    )
+                est = np.array([classes[int(i)] for i in pred.argmax(axis=1)])
+                m = classification_metrics_np(
+                    truth, est, probs=pred, class_levels=classes,
+                    event_class=classes[0],
+                )
+                raw = pd.DataFrame(
+                    {f".pred_{c}": pred[:, i] for i, c in enumerate(classes)}
+                )
+                raw[".pred_class"] = est
+                raw["feature_of_interest"] = truth
+            else:
+                truth = pdf["label"].to_numpy(np.float64)
+                m = regression_metrics_np(truth, pred)
+                raw = pd.DataFrame(
+                    {"feature_of_interest": truth, ".pred": pred}
+                )
+            raw[".model_input_type"] = tag
+            return m, raw
+
+        train_m, raw_train = _eval_local(tr_pdf, Xtr, "train")
+        final_m, raw_test = _eval_local(te_pdf, Xte, "test")
+        raw_predictions = pd.concat([raw_train, raw_test], ignore_index=True)
+
+        # null model (M9), numpy twin: identical values to the distributed
+        # null_model_metrics — constant-estimate metrics through the SAME
+        # shared formula code
+        if cls:
+            truth_tr = np.array(
+                [classes[int(i)] for i in ytr.astype(np.int64)]
+            )
+            vals, cnts = np.unique(truth_tr, return_counts=True)
+            top = min(vals[cnts == cnts.max()])  # count desc, label asc
+            truth_te = te_pdf["__raw"].astype(str).to_numpy()
+            nm = classification_metrics_np(
+                truth_te, np.full(len(truth_te), top)
+            )
+            null_m = {k: nm[k] for k in ("bal_accuracy", "f_meas", "accuracy")}
+        else:
+            mean_v = float(np.mean(ytr))
+            truth_te = te_pdf["label"].to_numpy(np.float64)
+            nm = regression_metrics_np(
+                truth_te, np.full(len(truth_te), mean_v)
+            )
+            null_m = {k: nm[k] for k in ("mae", "rmse", "ccc")}
+    else:
+        # -- null model (M9) --------------------------------------------------
+        null_m = null_model_metrics(train, test, label_col, feature_type)
+
+        # -- last_fit (M10): best params on full train, scored on test --------
+        final = _estimator(model, feature_type, best_params, seed).fit(train_p)
+        test_pred = _predict_frame(final, test_p, label_col, feature_type, classes)
+        final_m = _score(test_pred, feature_type, classes)
+        train_pred = _predict_frame(final, train_p, label_col, feature_type, classes)
+        train_m = _score(train_pred, feature_type, classes)
+
+        # S8: raw train+test predictions (reference bind_rows + augment,
+        # lib/diet_ml_funcs.R:991-1013)
+        raw_predictions = pd.concat(
+            [
+                _raw_predictions_pdf(train_pred, feature_type, classes, "train"),
+                _raw_predictions_pdf(test_pred, feature_type, classes, "test"),
+            ],
+            ignore_index=True,
+        )
 
     # J7: outer merge final vs null on metric name
     names = sorted(set(final_m) | set(null_m))
@@ -1050,11 +1154,24 @@ def run_dietml(
 
     shap_ranking = None
     if shap:
-        from taxahfe_spark.functions.shap import shap_mean_abs
+        if local_cv is not None:
+            from taxahfe_spark.functions.rf import forest_predict
+            from taxahfe_spark.functions.shap import shap_mean_abs_local
 
-        shap_ranking = shap_mean_abs(
-            final, train_p, recipe.keep_cols, seed=seed, top_k=shap_top_k
-        ).toPandas()
+            def _shap_score(M: np.ndarray) -> np.ndarray:
+                out = forest_predict(final, M)
+                # P(class 0) for classifiers — shap_mean_abs's default
+                return out[:, 0] if out.ndim == 2 else out
+
+            shap_ranking = shap_mean_abs_local(
+                _shap_score, Xtr, recipe.keep_cols, seed=seed, top_k=shap_top_k
+            )
+        else:
+            from taxahfe_spark.functions.shap import shap_mean_abs
+
+            shap_ranking = shap_mean_abs(
+                final, train_p, recipe.keep_cols, seed=seed, top_k=shap_top_k
+            ).toPandas()
 
     split.unpersist()
     train_p.unpersist()

@@ -184,3 +184,114 @@ def shap_mean_abs(
     return spark.createDataFrame(
         agg_pdf, "feature string, mean_abs_shap double, rank int"
     )
+
+# fork-inherited context for the local-SHAP row pool: a closure over a
+# fitted model can't pickle, but a forked child inherits this module global.
+_LOCAL_SHAP_CTX: dict = {}
+
+
+def _shap_rows_abs_sum(rows: list[int]) -> np.ndarray:
+    """Sum of |phi| over the given explain rows (one pool work item)."""
+    ctx = _LOCAL_SHAP_CTX
+    predict, X, bg, nsim, seed = (
+        ctx["predict"], ctx["X"], ctx["bg"], ctx["nsim"], ctx["seed"]
+    )
+    n, p = X.shape
+    k = bg.shape[0]
+    diag = np.arange(p)
+    abs_sum = np.zeros(p)
+    for r in rows:
+        # vectorized over sims; per-row rng (seed + r) keeps results
+        # deterministic, row-order- and worker-count-independent
+        rng = np.random.default_rng(seed + r)
+        x = X[r]
+        # random per-feature priorities == a uniform random permutation:
+        # B[s, j, i] = feature i precedes j in sim s's ordering
+        pos = np.argsort(rng.random((nsim, p)), axis=1)
+        Z = bg[rng.integers(0, k, nsim)]  # (nsim, p)
+        B = pos[:, None, :] < pos[:, :, None]
+        base = np.where(B, x[None, None, :], Z[:, None, :])  # (nsim, p, p)
+        with_j = base.copy()
+        with_j[:, diag, diag] = x[None, :]
+        without_j = base
+        without_j[:, diag, diag] = Z
+        blocks = np.empty((nsim, 2 * p, p))
+        blocks[:, 0::2] = with_j
+        blocks[:, 1::2] = without_j
+        preds = np.asarray(predict(blocks.reshape(-1, p)), dtype=np.float64)
+        signed = preds.reshape(nsim, 2 * p)
+        phi = (signed[:, 0::2] - signed[:, 1::2]).sum(axis=0) / nsim
+        abs_sum += np.abs(phi)
+    return abs_sum
+
+
+def shap_mean_abs_local(
+    predict,
+    X: np.ndarray,
+    feature_cols: list[str],
+    nsim: int | None = None,
+    seed: int = 42,
+    max_background: int = 100,
+    top_k: int | None = None,
+    workers: int | None = None,
+) -> pd.DataFrame:
+    """Driver-local twin of shap_mean_abs for a numpy scoring function —
+    the SAME Strumbelj-Kononenko estimator (permutation + background draw
+    per sim, with/without-j difference), used by the dietML small-n fast
+    path where the final model is the in-repo numpy forest and a cluster
+    fan-out would cost more in scheduling than the arithmetic.
+
+    ``predict``: (m, p) float64 -> (m,) scores (P(class 0) for
+    classification, prediction for regression). Background selection uses a
+    stable content hash (crc32 of the row bytes + seed) instead of the
+    distributed version's xxhash64 ordering — both are arbitrary-but-
+    deterministic subsample rules; SHAP values are estimator-level parity,
+    not bit parity, with the distributed path (pinned by ranking tests).
+    Returns (feature, mean_abs_shap, rank) like shap_mean_abs.
+
+    Rows fan out over a fork pool (``workers``, default up to 8): the cost
+    is n x nsim x 2p model evaluations — serial, the replica's 230 x 12
+    frame measured ~50 s, the reference's own fastshap forks here too
+    (lib/shap_funcs.R:99-100). Per-row rngs make the result identical for
+    every worker count; non-fork platforms fall back to serial.
+    """
+    import os as _os
+    import zlib
+
+    X = np.asarray(X, dtype=np.float64)
+    n, p = X.shape
+    nsim = nsim or adaptive_nsim(n, p)
+    salt = str(seed).encode()
+    hashes = np.array(
+        [zlib.crc32(X[i].tobytes() + salt) for i in range(n)], dtype=np.int64
+    )
+    bg = X[np.argsort(hashes, kind="stable")[:max_background]]
+
+    _LOCAL_SHAP_CTX.update(
+        predict=predict, X=X, bg=bg, nsim=nsim, seed=seed
+    )
+    try:
+        import multiprocessing as mp
+
+        workers = workers or min(8, _os.cpu_count() or 1, n)
+        can_fork = hasattr(_os, "fork")
+        if workers > 1 and can_fork and n > 1:
+            chunks = [list(range(w, n, workers)) for w in range(workers)]
+            with mp.get_context("fork").Pool(workers) as pool:
+                parts = pool.map(_shap_rows_abs_sum, chunks)
+            abs_sum = np.sum(parts, axis=0)
+        else:
+            abs_sum = _shap_rows_abs_sum(list(range(n)))
+    finally:
+        _LOCAL_SHAP_CTX.clear()
+    pdf = (
+        pd.DataFrame({"feature": feature_cols, "mean_abs_shap": abs_sum / n})
+        .sort_values(
+            ["mean_abs_shap", "feature"], ascending=[False, True], kind="mergesort"
+        )
+        .reset_index(drop=True)
+    )
+    pdf["rank"] = np.arange(1, len(pdf) + 1, dtype=np.int32)
+    if top_k:
+        pdf = pdf[pdf["rank"] <= top_k]
+    return pdf

@@ -358,10 +358,72 @@ def chunk_importance(
     )(seed)
 
 
+# executor-process design memo: the chunk fan-out runs MANY tasks per
+# competition; every one re-densified the competitors' sparse vectors,
+# re-ran the correlation prune, and re-stacked the design matrix before its
+# chunk fits (at the sf0.1 super filter's 15k x 1000 shape that is ~100 MB
+# of pure memory traffic per task — exactly the non-scaling byte-bound work
+# the eta audit flagged). Workers are reused across tasks, so the last two
+# competitions' (corr, competitors, Xf) live here, keyed by a run-identity
+# token + competition key + competitor-set crc (a different run or node set
+# can never serve stale state). Size-capped so a beyond-budget design never
+# pins worker memory.
+_DESIGN_MEMO: dict[str, tuple] = {}
+_DESIGN_MEMO_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _prepare_design(
+    parent_path: str | None,
+    names: list[str],
+    get_dense,
+    params: "CompetitionParams",
+    memo_key: str | None,
+) -> tuple[np.ndarray | None, list[str], np.ndarray | None]:
+    """(corr vs parent over sorted descendants | None, competitors, Xf | None)
+    — the chunk-invariant prefix of a competition, memoized per process.
+    ``competitors`` is empty when the RF stage must not run (all pruned, or
+    corr_only mode)."""
+    if memo_key is not None:
+        hit = _DESIGN_MEMO.get(memo_key)
+        if hit is not None:
+            return hit
+    descs = [n for n in names if n != parent_path]
+    competitors = list(descs)
+    r = None
+    if parent_path is not None:
+        # correlation prune (reference lib/tree.R:505-545): signed r >=
+        # threshold prunes; NaN keeps
+        mat = np.column_stack(
+            [get_dense(parent_path)] + [get_dense(d) for d in descs]
+        )
+        r = _corr_with_parent(mat, params.corr_method)
+        keep = [
+            d for d, rv in zip(descs, r)
+            if np.isnan(rv) or rv < params.corr_threshold
+        ]
+        if not keep or params.competition_mode == "corr_only":
+            competitors = []
+        else:
+            competitors = [parent_path] + keep
+    Xf = (
+        np.column_stack([get_dense(n) for n in competitors])
+        if competitors
+        else None
+    )
+    entry = (r, competitors, Xf)
+    if memo_key is not None and (
+        Xf is None or Xf.nbytes <= _DESIGN_MEMO_MAX_BYTES
+    ):
+        if len(_DESIGN_MEMO) >= 2:
+            _DESIGN_MEMO.pop(next(iter(_DESIGN_MEMO)))
+        _DESIGN_MEMO[memo_key] = entry
+    return entry
+
+
 def _run_group(
     parent_path: str | None,
     names: list[str],
-    dense: dict[str, np.ndarray],
+    get_dense,
     chunk_lo: int,
     chunk_hi: int,
     label: np.ndarray,
@@ -370,6 +432,7 @@ def _run_group(
     re_time: np.ndarray | None,
     params: "CompetitionParams",
     emit_corr: bool,
+    memo_key: str | None = None,
 ) -> tuple[list[str], list[float | None], list[float | None]]:
     """Fused corr + prune + forest pass for one competition x chunk-range.
 
@@ -379,29 +442,25 @@ def _run_group(
     driver stays bit-deterministic regardless of task scheduling). ``names``
     is the deterministic competitor order: parent first (when present), then
     sorted descendants — layout-stable in every delivery strategy.
+    ``get_dense``: name -> dense design column; densification, the corr
+    prune, and the design stack are chunk-invariant and served from
+    _DESIGN_MEMO when another range of the same competition already ran in
+    this worker process.
     """
     out_paths: list[str] = []
     out_corr: list[float | None] = []
     out_imp: list[float | None] = []
     descs = [n for n in names if n != parent_path]
-    competitors = list(descs)
+    r, competitors, Xf = _prepare_design(
+        parent_path, names, get_dense, params, memo_key
+    )
     if parent_path is not None:
-        # correlation prune (reference lib/tree.R:505-545): signed r >=
-        # threshold prunes; NaN keeps
-        mat = np.column_stack([dense[parent_path]] + [dense[d] for d in descs])
-        r = _corr_with_parent(mat, params.corr_method)
         if emit_corr:
             out_paths.extend(descs)
             out_corr.extend(float(v) for v in r)
             out_imp.extend([None] * len(descs))
-        keep = [
-            d for d, rv in zip(descs, r)
-            if np.isnan(rv) or rv < params.corr_threshold
-        ]
-        if not keep or params.competition_mode == "corr_only":
+        if not competitors:
             return out_paths, out_corr, out_imp
-        competitors = [parent_path] + keep
-    Xf = np.column_stack([dense[n] for n in competitors])
     parent_key = parent_path if parent_path is not None else "__final__"
     cache_key = f"{parent_key}|{len(competitors)}|{zlib.crc32('|'.join(competitors).encode())}"
     run_fit = make_importance_runner(
@@ -422,7 +481,20 @@ def _run_group(
     return out_paths, out_corr, out_imp
 
 
-def make_broadcast_stage_udf(bc_vectors, bc_ctx, params: CompetitionParams):
+# per-run memo-identity tokens (driver-side counter + pid; Broadcast has no
+# worker-visible id). A token is unique per TreeCompetition instance, so a
+# _DESIGN_MEMO entry can never cross runs.
+_RUN_TOKEN_COUNTER = [0]
+
+
+def _next_run_token() -> str:
+    _RUN_TOKEN_COUNTER[0] += 1
+    return f"{os.getpid()}:{_RUN_TOKEN_COUNTER[0]}"
+
+
+def make_broadcast_stage_udf(
+    bc_vectors, bc_ctx, params: CompetitionParams, run_token: str = ""
+):
     """mapInPandas runner for the broadcast strategy: one INPUT ROW per
     (competition x chunk-range) — (competition_id, parent_path, paths,
     chunk_lo, chunk_hi); vectors come from the explicit broadcast."""
@@ -437,14 +509,18 @@ def make_broadcast_stage_udf(bc_vectors, bc_ctx, params: CompetitionParams):
                 names = ([row.parent_path] if row.parent_path else []) + sorted(
                     p for p in row.paths if p != row.parent_path
                 )
-                dense = {
-                    n: _to_dense(*vecs_sparse[n], n_entities, remap) for n in names
-                }
+                base_key = str(row.competition_id).split("\x1f", 1)[0]
+                memo_key = (
+                    f"b{run_token}|{base_key}|"
+                    f"{zlib.crc32('|'.join(names).encode())}"
+                )
                 paths, corrs, imps = _run_group(
-                    row.parent_path or None, names, dense,
+                    row.parent_path or None, names,
+                    lambda n: _to_dense(*vecs_sparse[n], n_entities, remap),
                     int(row.chunk_lo), int(row.chunk_hi),
                     label, cov, re_ind, re_time, params,
                     emit_corr=int(row.chunk_lo) == 0,
+                    memo_key=memo_key,
                 )
                 rows_p.extend(paths)
                 rows_c.extend(corrs)
@@ -464,7 +540,9 @@ def make_broadcast_stage_udf(bc_vectors, bc_ctx, params: CompetitionParams):
     return fn
 
 
-def make_shuffle_stage_udf(bc_ctx, params: CompetitionParams):
+def make_shuffle_stage_udf(
+    bc_ctx, params: CompetitionParams, run_token: str = ""
+):
     """applyInPandas runner for the shuffle strategy: one GROUP per
     (competition x chunk-range); each group's rows carry its competitors'
     sparse vectors (joined in, never via the driver)."""
@@ -475,16 +553,20 @@ def make_shuffle_stage_udf(bc_ctx, params: CompetitionParams):
         first = pdf.iloc[0]
         parent = first["parent_path"] if pd.notna(first["parent_path"]) else None
         chunk_lo, chunk_hi = int(first["chunk_lo"]), int(first["chunk_hi"])
-        dense = {
-            r.path: _to_dense(r.idxs, r.vals, n_entities, remap)
-            for r in pdf.itertuples()
-        }
+        sparse = {r.path: (r.idxs, r.vals) for r in pdf.itertuples()}
         names = ([parent] if parent else []) + sorted(
-            p for p in dense if p != parent
+            p for p in sparse if p != parent
+        )
+        base_key = str(first["competition_id"]).split("\x1f", 1)[0]
+        memo_key = (
+            f"s{run_token}|{base_key}|{zlib.crc32('|'.join(names).encode())}"
         )
         paths, corrs, imps = _run_group(
-            parent, names, dense, chunk_lo, chunk_hi,
+            parent, names,
+            lambda n: _to_dense(*sparse[n], n_entities, remap),
+            chunk_lo, chunk_hi,
             label, cov, re_ind, re_time, params, emit_corr=chunk_lo == 0,
+            memo_key=memo_key,
         )
         return pd.DataFrame(
             {
@@ -527,6 +609,7 @@ class TreeCompetition:
             )
         self.spark = vectors.sparkSession
         self.params = params
+        self._memo_token = _next_run_token()
         # design_sample_frac < 1: seeded hash subsample of entity POSITIONS,
         # applied to label/cov/RE arrays here and to every sparse vector at
         # densify time via the remap (see CompetitionParams docstring). A
@@ -745,13 +828,16 @@ class TreeCompetition:
         """Split nperm fits into contiguous chunk ranges, adaptively: few
         competitions -> full fan-out (wall time ~ one fit); many competitions
         -> one range per competition (vectors ship once per level). The
-        range count targets ~4x parallelism total tasks so a near-core-count
+        range count targets ~8x parallelism total tasks so a near-core-count
         competition list doesn't end on a one-task straggler wave (25 tasks
         on 8 cores = waves of 8,8,8,1 — the tail wave is a full per-task
-        latency). Seeds depend only on the absolute chunk index, so
-        scheduling never changes results."""
+        latency), and so heterogeneous competition costs level out (the
+        worker-process design memo makes extra ranges nearly free: the
+        densify+corr+stack prefix is computed once per worker, not per
+        task). Seeds depend only on the absolute chunk index, so scheduling
+        never changes results."""
         par = self.spark.sparkContext.defaultParallelism
-        per_comp = max(1, min(n_chunks, -(-4 * par // max(n_comps, 1))))
+        per_comp = max(1, min(n_chunks, -(-8 * par // max(n_comps, 1))))
         step = (n_chunks + per_comp - 1) // per_comp
         return [(lo, min(lo + step, n_chunks)) for lo in range(0, n_chunks, step)]
 
@@ -780,10 +866,17 @@ class TreeCompetition:
                 "competition_id string, parent_path string, paths array<string>, "
                 "chunk_lo int, chunk_hi int",
             )
+            # one assignment row per task (capped): competitions differ
+            # wildly in cost (competitor count x prune outcome), so packing
+            # 3-4 rows per partition made stage wall = the unluckiest
+            # packing; single-row tasks let the scheduler level the load and
+            # cost only ~50 ms each against multi-second rows
             n_part = max(
-                1, min(len(rows_in), self.spark.sparkContext.defaultParallelism * 2)
+                1, min(len(rows_in), self.spark.sparkContext.defaultParallelism * 16)
             )
-            fn = make_broadcast_stage_udf(self.bc_vectors, self.bc_ctx, self.params)
+            fn = make_broadcast_stage_udf(
+                self.bc_vectors, self.bc_ctx, self.params, self._memo_token
+            )
             stage = adf.repartition(n_part).mapInPandas(fn, _STAGE_SCHEMA)
         else:
             assign = [
@@ -797,7 +890,9 @@ class TreeCompetition:
                 "chunk_lo int, chunk_hi int",
             )
             joined = adf.join(self.vectors, "path")
-            fn = make_shuffle_stage_udf(self.bc_ctx, self.params)
+            fn = make_shuffle_stage_udf(
+                self.bc_ctx, self.params, self._memo_token
+            )
             stage = joined.groupBy("competition_id").applyInPandas(fn, _STAGE_SCHEMA)
         # Pre-aggregate ON THE CLUSTER before collecting: each task already
         # summed its own chunk range (in ascending chunk order), so the

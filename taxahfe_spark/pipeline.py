@@ -234,8 +234,19 @@ def taxa_hfe(
     ).join(F.broadcast(ids_df), "entity_id", "left_semi")
 
     # the rollup checkpoints its levels, so after the first action below
-    # `resolved` is served from stored blocks for every later consumer
-    resolved = hierarchical_rollup(long)
+    # `resolved` is served from stored blocks for every later consumer.
+    # COALESCE the union first: it stacks max_level per-level shuffles
+    # (~200 narrow partitions at default config) and five downstream
+    # consumers (entity distinct, flags, vectors, winner pivot, final
+    # materialize) each paid ~200 near-empty task launches per scan —
+    # measured ~10 s/scan of pure scheduling at sf0.1 local[8]. Target is
+    # parallelism-sized, never below the source count on a big cluster.
+    spark_par = metadata.sparkSession.sparkContext.defaultParallelism
+    rolled = hierarchical_rollup(long)
+    resolved = rolled.coalesce(max(2 * spark_par, 16))
+    # coalesce() returns a new frame: re-attach the rollup's scratch-cache
+    # handle so the unpersist below still finds it
+    resolved._taxahfe_scratch = getattr(rolled, "_taxahfe_scratch", None)
 
     # the design universe is metadata INTERSECT data subjects (reference
     # lib/tree.R:177-178 prunes data columns to metadata, and every
@@ -253,6 +264,11 @@ def taxa_hfe(
         scratch.unpersist()
     meta_pdf = meta_pdf[meta_pdf["subject_id"].isin(present)].reset_index(drop=True)
     entity_ids = meta_pdf["subject_id"].tolist()
+    # the data's entity universe is already on the driver: hand it to
+    # winner_feature_matrix (via the same attribute idiom as the scratch
+    # handle) so the export does not pay ANOTHER full distinct scan of
+    # resolved for a list this function already computed
+    resolved._taxahfe_entities = sorted(present)
 
     flags = feature_filter_flags(
         resolved, len(entity_ids), filter_prevalence, filter_mean_abundance
@@ -338,8 +354,18 @@ def winner_feature_matrix(
     winners = [r.path for r in state[state[flag]].itertuples()]
     # ALL data entities appear in the output, even those whose every winner
     # value is an implicit zero (the reference's transposed flattened frame
-    # keeps one row per sample column regardless of abundance)
-    entities = resolved.select(F.col("entity_id").alias("subject_id")).distinct()
+    # keeps one row per sample column regardless of abundance). taxa_hfe
+    # attaches the already-collected entity universe; fall back to a
+    # distinct scan for frames from other producers
+    known = getattr(resolved, "_taxahfe_entities", None)
+    if known is not None:
+        entities = resolved.sparkSession.createDataFrame(
+            [(e,) for e in known], ["subject_id"]
+        )
+    else:
+        entities = resolved.select(
+            F.col("entity_id").alias("subject_id")
+        ).distinct()
     if not winners:
         base = entities
     else:

@@ -146,18 +146,19 @@ def hierarchical_rollup(
         .persist()
     )
 
-    max_level = observed.agg(F.max("level")).first()[0]
-    if max_level is None:
-        return observed.select(
-            "path", "level", "entity_id", "value", F.lit(True).alias("observed")
-        ).limit(0)
-
-    # distinct observed paths per level — tiny, broadcast into anti-joins
+    # distinct observed paths per level — tiny, broadcast into anti-joins.
+    # ONE action: max_level falls out of the same collect (a separate
+    # agg(max) paid a full extra scan of the cached join per run)
     spark = long_df.sparkSession
     obs_paths_by_level: dict[int, list[str]] = {}
     for r in observed.select("path", "level").distinct().collect():
         # taxonomy-sized (<=1e5), not data-sized
         obs_paths_by_level.setdefault(r["level"], []).append(r["path"])
+    max_level = max(obs_paths_by_level, default=None)
+    if max_level is None:
+        return observed.select(
+            "path", "level", "entity_id", "value", F.lit(True).alias("observed")
+        ).limit(0)
 
     # which parents are actually MISSING per level, precomputed from path
     # strings alone (taxonomy-sized, pure driver arithmetic): resolved

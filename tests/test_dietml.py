@@ -622,8 +622,25 @@ def test_local_fast_path_matches_pyspark_selection_regression(spark):
     # pyspark.ml's mapping) but differ in tree internals (64-bin quantile
     # histogram vs spark's 32-bin), so per-candidate CV scores drift
     assert (rel < 0.35).all()
-    # final (last_fit) stage is pyspark.ml in BOTH runs -> identical
-    pd.testing.assert_frame_equal(fast.full_results, slow.full_results)
+    # evaluation-tail parity pin: the fast path's last_fit/null/raw-pred
+    # stages run the numpy forest + numpy metric twins, the slow path runs
+    # pyspark.ml — metric SETS identical, null model bit-identical (same
+    # shared formula code on the same constant estimate), final estimates
+    # same ballpark (different final model engine, the declared trade)
+    assert list(fast.full_results[".metric"]) == list(slow.full_results[".metric"])
+    np.testing.assert_allclose(
+        fast.full_results["null_model_avg"].to_numpy(),
+        slow.full_results["null_model_avg"].to_numpy(),
+        rtol=1e-9,
+    )
+    est_rel = np.abs(
+        fast.full_results["estimate"].to_numpy()
+        / slow.full_results["estimate"].to_numpy()
+        - 1.0
+    )
+    assert (est_rel < 0.35).all()
+    assert set(fast.raw_predictions.columns) == set(slow.raw_predictions.columns)
+    assert len(fast.raw_predictions) == len(slow.raw_predictions)
 
 
 def test_local_fast_path_matches_pyspark_selection_classification(spark):
@@ -650,7 +667,18 @@ def test_local_fast_path_matches_pyspark_selection_classification(spark):
     fast = run_dietml(df, **kwargs)
     slow = run_dietml(df, local_fit_threshold=0, **kwargs)
     assert fast.best_params == slow.best_params
-    pd.testing.assert_frame_equal(fast.full_results, slow.full_results)
+    # same parity pin as the regression test: identical metric sets +
+    # bit-identical null model; estimates ballpark (different final engine)
+    assert list(fast.full_results[".metric"]) == list(slow.full_results[".metric"])
+    np.testing.assert_allclose(
+        fast.full_results["null_model_avg"].to_numpy(),
+        slow.full_results["null_model_avg"].to_numpy(),
+        rtol=1e-9,
+    )
+    f_est = fast.full_results.set_index(".metric")["estimate"]
+    s_est = slow.full_results.set_index(".metric")["estimate"]
+    for mname in ("accuracy", "bal_accuracy", "roc_auc"):
+        assert abs(f_est[mname] - s_est[mname]) < 0.2, mname
 
 
 def test_reprep_per_fold_quantifies_cv_optimism(spark):
