@@ -118,6 +118,12 @@ def _add_ml_args(p: argparse.ArgumentParser) -> None:
     # (repeat, fold) instead of once per training split (see run_dietml's
     # leakage contract note); default off = the documented approximation
     p.add_argument("--reprep_per_fold", action="store_true")
+    # "bayes" = true tune_bayes analog (GP + EI, functions/bayes.py); the
+    # reference always tunes bayesian (lib/diet_ml_funcs.R:789-806), here
+    # it is selectable next to the deterministic grid/halving idioms
+    p.add_argument(
+        "--tune_strategy", default="grid", choices=("grid", "halving", "bayes")
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -308,6 +314,7 @@ def _dietml_kwargs(opts) -> dict:
         shap=opts.shap,
         parallel_workers=int(opts.parallel_workers),
         reprep_per_fold=bool(getattr(opts, "reprep_per_fold", False)),
+        tune_strategy=getattr(opts, "tune_strategy", "grid"),
     )
 
 
@@ -333,6 +340,16 @@ def _write_ml_sinks(res, opts, program: str) -> None:
         res.shap_ranking.to_csv(
             os.path.join(ml_dir, "shap_ranking.csv"), index=False
         )
+    if res.shap_values is not None:
+        # S9 plot artifact: SVG beeswarm (the reference's shapviz PDF
+        # analog, lib/shap_funcs.R:104-111 — no plotting libs needed)
+        from taxahfe_spark.functions.beeswarm import beeswarm_svg
+
+        svg = beeswarm_svg(
+            res.shap_values, res.shap_inputs, res.recipe.keep_cols
+        )
+        with open(os.path.join(ml_dir, "shap_beeswarm.svg"), "w") as f:
+            f.write(svg)
 
 
 def _run_hfe_ml(spark, opts) -> None:

@@ -5,15 +5,16 @@ baseline, metric sets) on pyspark.ml.
 Reference mapping (SURVEY.md §2.11):
 - M1  model registry rf/enet/lasso/ridge/xgboost/svm  <- lib/diet_ml_funcs.R:16-111
       (registry at 91-99; "xgboost" realized as Spark GBT, "svm" as LinearSVC
-      — linear kernel, classification-only; "mars" has no Spark analog and
-      raises)
+      — linear kernel, classification-only; "mars" runs the numpy bagged
+      MARS engine, functions/mars.py, under the small-n local fast path)
 - M2/M3 stratified 0.8 split / split object           <- cmd/taxa_hfe_ml.R:52-54,
       lib/diet_ml_funcs.R:664-674 (hash-ranked, layout-invariant)
 - M4  stratified repeated k-fold CV                   <- lib/diet_ml_funcs.R:676-684
 - M5  recipe: novel->dummy->zv->(center/scale)->corr  <- lib/diet_ml_funcs.R:686-711
 - M6  VIF + pairwise-corr collinearity filter         <- lib/diet_ml_funcs.R:1029-1163
-- M7  HP tuning (deterministic grid + early stop standing in for tune_bayes —
-      the Spark idiom per SURVEY §7.5)                <- lib/diet_ml_funcs.R:722-958
+- M7  HP tuning: tune_strategy "grid" (deterministic grid + early stop),
+      "halving" (successive halving), or "bayes" — a true tune_bayes
+      analog (GP surrogate + EI, functions/bayes.py)  <- lib/diet_ml_funcs.R:722-958
 - M8  select_by_pct_loss with per-model simplicity    <- lib/diet_ml_funcs.R:818-834
 - M9  null model (majority class / mean)              <- lib/diet_ml_funcs.R:342-419
 - M10 last_fit + metric sets incl kap/ccc/bal_acc     <- lib/diet_ml_funcs.R:960-1027
@@ -448,7 +449,8 @@ def _estimator(model: str, feature_type: str, params: dict, seed: int):
         return LinearSVC(regParam=float(params["cost"]), **common)
     raise NotImplementedError(
         f"model '{model}' has no Spark-native analog (reference registry "
-        "lib/diet_ml_funcs.R:91-99; 'mars' is a declared non-goal)"
+        "lib/diet_ml_funcs.R:91-99; 'mars' runs only on the driver-local "
+        "small-n fast path, functions/mars.py)"
     )
 
 
@@ -477,6 +479,14 @@ def _grid(model: str, tune_length: int, seed: int) -> list[dict]:
         ]
     elif model == "svm":
         combos = [{"cost": c} for c in np.logspace(-3, 1, 8)]
+    elif model == "mars":
+        # reference dials: num_terms up to n/25, prod_degree {1, 2},
+        # prune_method backward (lib/diet_ml_funcs.R:752-757, 526-528)
+        combos = [
+            {"num_terms": t, "prod_degree": d}
+            for t in (4, 8, 14)
+            for d in (1, 2)
+        ]
     else:
         raise NotImplementedError(model)
     rng = np.random.default_rng(seed)
@@ -493,6 +503,7 @@ _SIMPLICITY = {
     "ridge": [("-penalty",)],
     "xgboost": [("tree_depth",), ("trees",)],
     "svm": [("cost",)],
+    "mars": [("num_terms",)],  # lib/diet_ml_funcs.R:828: pct_loss by num_terms
 }
 
 
@@ -519,8 +530,14 @@ def select_by_pct_loss(
             neg = spec.startswith("-")
             name = spec.lstrip("-")
             v = params.get(name, 0)
-            if isinstance(v, str):  # mtry strategies: sqrt < 0.33 < 0.5 by text
-                v = {"sqrt": 0.0, "0.33": 0.33, "0.5": 0.5}.get(v, 1.0)
+            if isinstance(v, str):
+                # mtry strategies order by feature fraction; "sqrt" (~p^-0.5)
+                # sorts smallest, numeric strings ("0.33", bayes' "0.417")
+                # by value
+                try:
+                    v = float(v)
+                except ValueError:
+                    v = 0.0 if v == "sqrt" else 1.0
             key.append(-float(v) if neg else float(v))
         return tuple(key)
 
@@ -672,6 +689,10 @@ class DietMLResult:
     # the null-model metric row (dummy_model_results.csv)
     raw_predictions: pd.DataFrame | None = None
     null_metrics: dict[str, float] = field(default_factory=dict)
+    # S9: per-row SHAP matrix + matching inputs (local fast path only) —
+    # the basis of the beeswarm SVG (functions/beeswarm.py)
+    shap_values: np.ndarray | None = None
+    shap_inputs: np.ndarray | None = None
 
 
 def run_dietml(
@@ -700,6 +721,7 @@ def run_dietml(
     tune_strategy: str = "grid",
     local_fit_threshold: int = 20_000,
     reprep_per_fold: bool = False,
+    mars_bags: int = 11,  # baguette bag_mars default bag count
 ) -> DietMLResult:
     """End-to-end dietML run (reference cmd/diet_ml.R:23-85 ->
     lib/diet_ml_funcs.R:16-111): split -> collinearity -> recipe -> CV grid
@@ -725,7 +747,13 @@ def run_dietml(
     reference's tune_bayes fit budget far better than a flat grid at equal
     tune_length (initial sweep + concentrated refinement) and is fully
     deterministic (same per-(candidate, repeat) seeds). Final selection
-    always uses full-budget scores only.
+    always uses full-budget scores only. "bayes" runs the true tune_bayes
+    analog (functions/bayes.py): a seeded GP surrogate with expected-
+    improvement acquisition over continuous dials (penalty log10(-8, 3),
+    mixture (0.1, 0.9), continuous mtry fractions), uncertain picks every
+    5 non-improving iterations, initial designs of 5/15/20 per model
+    family — all exactly as lib/diet_ml_funcs.R:722-806 configures
+    tune_bayes, and deterministic in the seed.
 
     Leakage contract note: by default the recipe (center/scale, zv, corr,
     info-gain) is estimated ONCE on the full training split and reused in
@@ -830,13 +858,20 @@ def run_dietml(
         train_cv_raw.count()
 
     local_cv = None
-    if model == "rf" and n_train <= local_fit_threshold and not reprep_per_fold:
+    if model in ("rf", "mars") and n_train <= local_fit_threshold and not reprep_per_fold:
         local_cv = (
             train_cv.select(id_col, "label", "repeat", "fold", *recipe.keep_cols)
             .toPandas()
             .sort_values(["repeat", id_col], kind="mergesort")
             .reset_index(drop=True)
         )  # deterministic row order -> layout-invariant bootstrap draws
+    if model == "mars" and local_cv is None:
+        raise NotImplementedError(
+            "mars (bagged earth, lib/diet_ml_funcs.R:510-561) is a "
+            "single-node engine here as in R: it requires n_train <= "
+            f"local_fit_threshold ({local_fit_threshold}) and "
+            "reprep_per_fold=False"
+        )
 
     # -- grid tune (M7) with tune_stop / tune_time early stopping -----------
     candidates = _grid(model, tune_length, seed)
@@ -857,15 +892,49 @@ def run_dietml(
         except ValueError:
             return max(1, int(np.ceil(np.sqrt(p))))
 
+    def _fit_local_predictor(params: dict, Xtr: np.ndarray, ytr: np.ndarray, fit_seed: int):
+        """Driver-local fit for the fast path; returns a predict closure.
+        rf -> the numpy histogram forest; mars -> bagged numpy MARS
+        (functions/mars.py, the earth/bag_mars analog)."""
+        cls = feature_type == "factor"
+        if model == "mars":
+            from taxahfe_spark.functions.mars import mars_fit, mars_predict
+
+            nt = params.get("num_terms")
+            bags = mars_fit(
+                Xtr,
+                ytr.astype(np.int64) if cls else ytr,
+                cls,
+                num_terms=int(nt) if nt else None,
+                prod_degree=int(params.get("prod_degree", 1)),
+                prune_method=str(params.get("prune_method", "backward")),
+                n_bags=int(params.get("n_bags", mars_bags)),
+                seed=fit_seed,
+                n_classes=len(classes) if cls else None,
+            )
+            return lambda M: mars_predict(bags, M)
+        from taxahfe_spark.functions.rf import forest_fit, forest_predict
+
+        mdl = forest_fit(
+            Xtr,
+            ytr.astype(np.int64) if cls else ytr,
+            cls,
+            num_trees=int(params.get("num_trees", 100)),
+            mtry=_mtry_count(str(params.get("mtry", "sqrt")), Xtr.shape[1]),
+            min_node=int(params.get("min_n", 1)),
+            seed=fit_seed,
+            n_classes=len(classes) if cls else None,
+        )
+        return lambda M: forest_predict(mdl, M)
+
     def fit_one_local(params: dict, ci: int, r: int, f: int) -> float:
-        """One CV fit on the driver-collected frame: numpy forest + numpy
+        """One CV fit on the driver-collected frame: numpy engines + numpy
         metric twins. Same (candidate, repeat) seed derivation as the
         pyspark.ml path."""
         from taxahfe_spark.functions.metrics import (
             classification_metrics_np,
             regression_metrics_np,
         )
-        from taxahfe_spark.functions.rf import forest_fit, forest_predict
 
         sub = local_cv[local_cv["repeat"] == r]
         tr = sub[sub["fold"] != f]
@@ -875,17 +944,7 @@ def run_dietml(
         Xva = va[cols].to_numpy(np.float64)
         cls = feature_type == "factor"
         ytr = tr["label"].to_numpy(np.float64)
-        mdl = forest_fit(
-            Xtr,
-            ytr.astype(np.int64) if cls else ytr,
-            cls,
-            num_trees=int(params.get("num_trees", 100)),
-            mtry=_mtry_count(str(params.get("mtry", "sqrt")), len(cols)),
-            min_node=int(params.get("min_n", 1)),
-            seed=seed + 31 * ci + r,
-            n_classes=len(classes) if cls else None,
-        )
-        pred = forest_predict(mdl, Xva)
+        pred = _fit_local_predictor(params, Xtr, ytr, seed + 31 * ci + r)(Xva)
         if cls:
             truth = np.array([classes[int(i)] for i in va["label"].to_numpy(np.int64)])
             est = np.array([classes[int(i)] for i in pred.argmax(axis=1)])
@@ -984,7 +1043,34 @@ def run_dietml(
         sign = -1.0 if maximize else 1.0
         return sorted(cis, key=lambda ci: (sign * means[ci], ci))[:k]
 
-    if tune_strategy == "halving" and len(candidates) > 2 and folds > 1:
+    if tune_strategy == "bayes":
+        # true tune_bayes analog (reference lib/diet_ml_funcs.R:789-806):
+        # GP surrogate + expected improvement over continuous dials, seeded
+        # initial design, uncertain pick every 5 non-improving iterations,
+        # no_improve = tune_stop. Candidates come from the GP, not _grid.
+        from taxahfe_spark.functions.bayes import bayes_search
+
+        candidates = []
+        full = [(r, f) for r in range(cv_repeats) for f in range(folds)]
+
+        def _eval_bayes(params: dict) -> float:
+            if model == "rf":
+                params = {**params, "num_trees": num_trees}
+            ci = len(candidates)
+            candidates.append(params)
+            return eval_pairs([ci], full)[ci]
+
+        rows = bayes_search(
+            model,
+            _eval_bayes,
+            maximize=maximize,
+            seed=seed,
+            iterations=tune_length,
+            no_improve=tune_stop,
+            time_limit_s=tune_time_min * 60,
+            clock=time.time,
+        )
+    elif tune_strategy == "halving" and len(candidates) > 2 and folds > 1:
         # successive halving: every candidate pays ONE fold, the top third
         # pay repeat 0's folds, finalists pay the full repeats x folds bill;
         # cv_results reports finalists' FULL-budget means only
@@ -1036,7 +1122,6 @@ def run_dietml(
             classification_metrics_np,
             regression_metrics_np,
         )
-        from taxahfe_spark.functions.rf import forest_fit, forest_predict
 
         cols = recipe.keep_cols
         cls = feature_type == "factor"
@@ -1057,19 +1142,13 @@ def run_dietml(
         Xtr = tr_pdf[cols].to_numpy(np.float64)
         Xte = te_pdf[cols].to_numpy(np.float64)
         ytr = tr_pdf["label"].to_numpy(np.float64)
-        final = forest_fit(
-            Xtr,
-            ytr.astype(np.int64) if cls else ytr,
-            cls,
-            num_trees=int(best_params.get("num_trees", num_trees)),
-            mtry=_mtry_count(str(best_params.get("mtry", "sqrt")), len(cols)),
-            min_node=int(best_params.get("min_n", 1)),
-            seed=seed,
-            n_classes=len(classes) if cls else None,
-        )
+        fit_params = dict(best_params)
+        if model == "rf":
+            fit_params.setdefault("num_trees", num_trees)
+        predict_local = _fit_local_predictor(fit_params, Xtr, ytr, seed)
 
         def _eval_local(pdf: pd.DataFrame, X: np.ndarray, tag: str):
-            pred = forest_predict(final, X)
+            pred = predict_local(X)
             if cls:
                 if "__raw" in pdf.columns:
                     truth = pdf["__raw"].astype(str).to_numpy()
@@ -1153,18 +1232,25 @@ def run_dietml(
     )
 
     shap_ranking = None
+    shap_values = shap_inputs = None
     if shap:
         if local_cv is not None:
-            from taxahfe_spark.functions.rf import forest_predict
-            from taxahfe_spark.functions.shap import shap_mean_abs_local
+            from taxahfe_spark.functions.shap import (
+                ranking_from_phi,
+                shap_values_local,
+            )
 
             def _shap_score(M: np.ndarray) -> np.ndarray:
-                out = forest_predict(final, M)
+                out = predict_local(M)
                 # P(class 0) for classifiers — shap_mean_abs's default
                 return out[:, 0] if out.ndim == 2 else out
 
-            shap_ranking = shap_mean_abs_local(
-                _shap_score, Xtr, recipe.keep_cols, seed=seed, top_k=shap_top_k
+            # per-row phi computed once: the ranking AND the S9 beeswarm
+            # artifact derive from the same matrix
+            shap_values = shap_values_local(_shap_score, Xtr, seed=seed)
+            shap_inputs = Xtr
+            shap_ranking = ranking_from_phi(
+                shap_values, recipe.keep_cols, top_k=shap_top_k
             )
         else:
             from taxahfe_spark.functions.shap import shap_mean_abs
@@ -1188,6 +1274,8 @@ def run_dietml(
         shap_ranking=shap_ranking,
         raw_predictions=raw_predictions,
         null_metrics=null_m,
+        shap_values=shap_values,
+        shap_inputs=shap_inputs,
     )
 
 

@@ -190,8 +190,9 @@ def shap_mean_abs(
 _LOCAL_SHAP_CTX: dict = {}
 
 
-def _shap_rows_abs_sum(rows: list[int]) -> np.ndarray:
-    """Sum of |phi| over the given explain rows (one pool work item)."""
+def _shap_rows_phi(rows: list[int]) -> np.ndarray:
+    """Per-row SHAP vectors phi for the given explain rows (one pool work
+    item); returns (len(rows), p) in the order given."""
     ctx = _LOCAL_SHAP_CTX
     predict, X, bg, nsim, seed = (
         ctx["predict"], ctx["X"], ctx["bg"], ctx["nsim"], ctx["seed"]
@@ -199,8 +200,8 @@ def _shap_rows_abs_sum(rows: list[int]) -> np.ndarray:
     n, p = X.shape
     k = bg.shape[0]
     diag = np.arange(p)
-    abs_sum = np.zeros(p)
-    for r in rows:
+    out = np.empty((len(rows), p))
+    for ri, r in enumerate(rows):
         # vectorized over sims; per-row rng (seed + r) keeps results
         # deterministic, row-order- and worker-count-independent
         rng = np.random.default_rng(seed + r)
@@ -220,9 +221,29 @@ def _shap_rows_abs_sum(rows: list[int]) -> np.ndarray:
         blocks[:, 1::2] = without_j
         preds = np.asarray(predict(blocks.reshape(-1, p)), dtype=np.float64)
         signed = preds.reshape(nsim, 2 * p)
-        phi = (signed[:, 0::2] - signed[:, 1::2]).sum(axis=0) / nsim
-        abs_sum += np.abs(phi)
-    return abs_sum
+        out[ri] = (signed[:, 0::2] - signed[:, 1::2]).sum(axis=0) / nsim
+    return out
+
+
+def ranking_from_phi(
+    phi: np.ndarray, feature_cols: list[str], top_k: int | None = None
+) -> pd.DataFrame:
+    """(n, p) SHAP matrix -> the (feature, mean_abs_shap, rank) table
+    shap_mean_abs produces (reference get_shap_values + slice_head,
+    lib/shap_funcs.R:84-111)."""
+    pdf = (
+        pd.DataFrame(
+            {"feature": feature_cols, "mean_abs_shap": np.abs(phi).mean(axis=0)}
+        )
+        .sort_values(
+            ["mean_abs_shap", "feature"], ascending=[False, True], kind="mergesort"
+        )
+        .reset_index(drop=True)
+    )
+    pdf["rank"] = np.arange(1, len(pdf) + 1, dtype=np.int32)
+    if top_k:
+        pdf = pdf[pdf["rank"] <= top_k]
+    return pdf
 
 
 def shap_mean_abs_local(
@@ -255,6 +276,25 @@ def shap_mean_abs_local(
     (lib/shap_funcs.R:99-100). Per-row rngs make the result identical for
     every worker count; non-fork platforms fall back to serial.
     """
+    phi = shap_values_local(
+        predict, X, nsim=nsim, seed=seed,
+        max_background=max_background, workers=workers,
+    )
+    return ranking_from_phi(phi, feature_cols, top_k)
+
+
+def shap_values_local(
+    predict,
+    X: np.ndarray,
+    nsim: int | None = None,
+    seed: int = 42,
+    max_background: int = 100,
+    workers: int | None = None,
+) -> np.ndarray:
+    """Per-row SHAP matrix (n, p) for the driver-local estimator — the
+    basis for both the mean-|phi| ranking and the S9 beeswarm artifact.
+    Per-row rngs (seed + row) make the matrix identical for every worker
+    count and row order."""
     import os as _os
     import zlib
 
@@ -275,23 +315,15 @@ def shap_mean_abs_local(
 
         workers = workers or min(8, _os.cpu_count() or 1, n)
         can_fork = hasattr(_os, "fork")
+        phi = np.empty((n, p))
         if workers > 1 and can_fork and n > 1:
             chunks = [list(range(w, n, workers)) for w in range(workers)]
             with mp.get_context("fork").Pool(workers) as pool:
-                parts = pool.map(_shap_rows_abs_sum, chunks)
-            abs_sum = np.sum(parts, axis=0)
+                parts = pool.map(_shap_rows_phi, chunks)
+            for chunk, part in zip(chunks, parts):
+                phi[chunk] = part
         else:
-            abs_sum = _shap_rows_abs_sum(list(range(n)))
+            phi[:] = _shap_rows_phi(list(range(n)))
     finally:
         _LOCAL_SHAP_CTX.clear()
-    pdf = (
-        pd.DataFrame({"feature": feature_cols, "mean_abs_shap": abs_sum / n})
-        .sort_values(
-            ["mean_abs_shap", "feature"], ascending=[False, True], kind="mergesort"
-        )
-        .reset_index(drop=True)
-    )
-    pdf["rank"] = np.arange(1, len(pdf) + 1, dtype=np.int32)
-    if top_k:
-        pdf = pdf[pdf["rank"] <= top_k]
-    return pdf
+    return phi
