@@ -103,3 +103,36 @@ def test_run_hfe_ml_summarized_levels_and_sinks(tmp_path, spark):
     assert {"seed", "bal_accuracy", "f_meas", "accuracy"} <= set(dummy.columns)
     level_csvs = glob.glob(str(out_dir / "summarized_level_*_11.csv"))
     assert level_csvs, "per-level matrix CSVs missing"
+
+
+def test_run_hfe_ml_shap_writes_ranking_and_beeswarm(tmp_path, spark):
+    """--shap writes the S9 artifact pair: shap_ranking.csv (M11/W3) and
+    the beeswarm SVG (the shapviz-PDF analog, lib/shap_funcs.R:104-111)."""
+    import xml.etree.ElementTree as ET
+
+    from taxahfe_spark import cli
+
+    meta_path, data_path = _write_inputs(tmp_path)
+    out_dir = tmp_path / "out"
+    cli.main(
+        [
+            "run-hfe-ml", meta_path, data_path,
+            "-s", "Sample", "-l", "Category", "-t", "factor",
+            "-p", "0.01", "-L", "2", "--nperm", "2", "-n", "4",
+            "--model", "rf", "--folds", "2", "--cv_repeats", "1",
+            "--tune_length", "1", "--seed", "11", "--shap",
+            "-o", str(out_dir),
+        ],
+        spark=spark,
+    )
+    ml_dir = out_dir / "ml_analysis"
+    ranking = pd.read_csv(ml_dir / "shap_ranking.csv")
+    assert {"feature", "mean_abs_shap", "rank"} <= set(ranking.columns)
+    assert (ranking["rank"] <= 10).all()  # slice_head(10), W3
+    svg_path = ml_dir / "shap_beeswarm.svg"
+    assert svg_path.exists(), "beeswarm SVG missing"
+    root = ET.fromstring(svg_path.read_text())
+    assert root.tag.endswith("svg")
+    # every ranked feature appears as an axis label in the plot
+    texts = {t.text for t in root.iter() if t.tag.endswith("text")}
+    assert set(ranking["feature"]) <= texts
