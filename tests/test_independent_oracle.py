@@ -91,3 +91,64 @@ def test_collapse_matches_independent_oracle_reference_example(spark):
         num_trees=10, seed=1234, super_filter_nperm_factor=2,
     )
     _assert_states_equal(state, ostate)
+
+
+def test_committed_golden_certified_by_independent_oracle(spark):
+    """The frozen sf0.01 golden served to the driver gate
+    (taxahfe_spark/golden/, __spark_entry__._hfe_collapse_oracle) must be
+    certified by the INDEPENDENT implementation, not only by the engine
+    that produced it: winner columns = the oracle's winner set, and every
+    matrix value = the oracle's independently-computed rollup vector.
+    tools/regen_golden.py enforces the same check at freeze time; this
+    test keeps it continuously true for the COMMITTED artifact."""
+    import gzip
+    import json
+
+    import numpy as np
+
+    import __spark_entry__ as em
+
+    long, meta = em.supplier_hierarchy(spark, "/root/testdata/sf0.01")
+    ostate = oracle_collapse(
+        meta.toPandas(), long.toPandas(),
+        filter_prevalence=0.05, lowest_level=1, nperm=4, num_trees=5,
+        seed=42, super_filter_nperm_factor=4,
+    )
+    with gzip.open(
+        "/root/repo/taxahfe_spark/golden/hfe_collapse_sf001.json.gz", "rt"
+    ) as f:
+        g = json.load(f)
+    gpdf = pd.DataFrame(g["rows"], columns=g["columns"])
+    feat_cols = [
+        c for c in g["columns"] if c not in ("subject_id", "feature_of_interest")
+    ]
+    # decision chain: golden columns == oracle winner set (path '|' -> '_')
+    assert {p.replace("|", "_") for p in ostate.loc[ostate["winner"], "path"]} == set(
+        feat_cols
+    )
+    # values: every winner column equals the oracle's own rollup vector
+    from oracle_collapse import clean_entity, clean_path, rollup
+
+    meta_pdf = meta.toPandas()
+    meta_pdf["subject_id"] = meta_pdf["subject_id"].map(clean_entity)
+    long_pdf = long.toPandas()
+    lp = pd.DataFrame(
+        {
+            "path": long_pdf["clade_name"].map(clean_path),
+            "entity_id": long_pdf["entity_id"].map(clean_entity),
+            "value": long_pdf["value"].astype(np.float64),
+        }
+    )
+    present = set(lp["entity_id"])
+    entities = [s for s in meta_pdf["subject_id"] if s in present]
+    vec = rollup(lp, entities)
+    order = gpdf["subject_id"].astype(str).map({s: i for i, s in enumerate(entities)})
+    assert order.notna().all()
+    idx = order.to_numpy(int)
+    for col in feat_cols:
+        path = next(
+            p for p in ostate["path"] if p.replace("|", "_") == col
+        )
+        assert np.allclose(
+            gpdf[col].to_numpy(np.float64), vec[path][idx]
+        ), f"value mismatch in column {col}"

@@ -30,6 +30,27 @@ for ri, row in enumerate(rows):
 print("cols:", cols[:5], "...", len(cols), "ncols")
 print("rows:", len(rows))
 print("dtypes:", df.dtypes[:6])
+# independent certification (ADVICE r4): refuse to freeze unless the
+# pure-pandas dual implementation (tests/oracle_collapse.py — shares only
+# the seeded-RNG contract) agrees on the winner set. This makes the golden
+# a certified value oracle, not a self-produced drift gate.
+sys.path.insert(0, "/root/repo/tests")
+from oracle_collapse import oracle_collapse
+long, meta = em.supplier_hierarchy(spark, "/root/testdata/sf0.01")
+ostate = oracle_collapse(
+    meta.toPandas(), long.toPandas(),
+    filter_prevalence=0.05, lowest_level=1, nperm=4, num_trees=5,
+    seed=42, super_filter_nperm_factor=4,
+)
+oracle_cols = {p.replace("|", "_") for p in ostate.loc[ostate["winner"], "path"]}
+engine_cols = {c for c in cols if c not in ("subject_id", "feature_of_interest")}
+if oracle_cols != engine_cols:
+    sys.exit(
+        "REFUSING to freeze: engine winner set disagrees with the "
+        f"independent oracle — engine-only={sorted(engine_cols - oracle_cols)[:5]} "
+        f"oracle-only={sorted(oracle_cols - engine_cols)[:5]}"
+    )
+print("independent oracle certifies the winner set:", len(oracle_cols), "columns")
 os.makedirs("/root/repo/taxahfe_spark/golden", exist_ok=True)
 with gzip.open("/root/repo/taxahfe_spark/golden/hfe_collapse_sf001.json.gz", "wt") as f:
     json.dump({"columns": cols, "types": [t for _, t in df.dtypes], "rows": rows}, f)
