@@ -604,6 +604,10 @@ def test_local_fast_path_matches_pyspark_selection_regression(spark):
     kwargs = dict(
         feature_type="numeric", model="rf", folds=3, cv_repeats=1,
         tune_length=3, metric="rmse", seed=99, num_trees=25,
+        # tune_time_min large: the default 2-min budget can truncate the
+        # grid mid-list on a contended box, breaking pf == ps parity on
+        # wall clock rather than semantics
+        tune_time_min=60.0,
     )
     fast = run_dietml(df, **kwargs)
     slow = run_dietml(df, local_fit_threshold=0, **kwargs)
@@ -663,6 +667,7 @@ def test_local_fast_path_matches_pyspark_selection_classification(spark):
     kwargs = dict(
         feature_type="factor", model="rf", folds=3, cv_repeats=1,
         tune_length=3, metric="bal_accuracy", seed=4, num_trees=25,
+        tune_time_min=60.0,  # see regression twin: no wall-clock truncation
     )
     fast = run_dietml(df, **kwargs)
     slow = run_dietml(df, local_fit_threshold=0, **kwargs)
@@ -695,6 +700,7 @@ def test_reprep_per_fold_quantifies_cv_optimism(spark):
     kwargs = dict(
         feature_type="numeric", model="ridge", folds=3, cv_repeats=1,
         tune_length=2, metric="rmse", seed=7,
+        tune_time_min=60.0,  # see fast-path regression test: deterministic grid
     )
     shared = run_dietml(df, **kwargs)
     reprep = run_dietml(df, reprep_per_fold=True, **kwargs)
