@@ -432,6 +432,7 @@ def run_replica(out_path: str | None = None) -> dict:
             ("full_ml_shap_sec",
              ["run-hfe-ml", meta, data, *common, "--shap", "-o", f"{tmp}/ml"]),
         ):
+            s0 = _steal_jiffies()
             t0 = _t.time()
             subprocess.run(
                 [sys.executable, "-m", "taxahfe_spark", *argv],
@@ -439,6 +440,10 @@ def run_replica(out_path: str | None = None) -> dict:
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             result[key] = round(_t.time() - t0, 1)
+            # steal accumulated while the command ran: nonzero means the
+            # host preempted this VM's vCPUs and the wall clock above is
+            # inflated by factors this process cannot control
+            result[f"{key}_steal_s"] = round((_steal_jiffies() - s0) / 100.0, 1)
     result["value"] = result["full_ml_shap_sec"]
     if out_path:
         with open(out_path, "w") as f:
