@@ -560,6 +560,27 @@ def q_cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k run at nprobe == n_centroids (exhaustive probing):
+    value-identical to the brute-force baseline by construction, so the
+    brute-force SQL is a true independent oracle for the whole IVF
+    machinery — seeded k-means quantizer, in-scan assignment, per-list
+    scoring, local top-k pruning. Recall at nprobe < n_centroids is pinned
+    in tests/test_pipeline_ops.py. (Graft operator — the reference R engine
+    has no ANN; SURVEY LLM-pipeline family.)"""
+    from taxahfe_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb.filter("vec_id < 20"), emb, k=5, n_centroids=8, nprobe=8, seed=42
+    )
+    return out.select(
+        "query_id", "match_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 _COSINE_ORACLE = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 20),
 c AS (SELECT vec_id AS match_id, embedding AS c_vec FROM embeddings),
@@ -1327,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_docs": q_token_counts_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "cosine_allpairs_embeddings": q_cosine_allpairs_embeddings,
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_docs": q_simhash_docs,
@@ -1571,6 +1593,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts_docs": _TOKEN_COUNTS_ORACLE,
         "ngram_jaccard_docs": _NGRAM_JACCARD_ORACLE,
         "cosine_topk_embeddings": _COSINE_ORACLE,
+        # exhaustive-probe IVF == brute force by construction, same oracle
+        "ivf_topk_embeddings": _COSINE_ORACLE,
         "cosine_allpairs_embeddings": _COSINE_ALLPAIRS_ORACLE,
         "simhash_docs": _simhash_oracle(),
         "hfe_corr_collapse": _HFE_CORR_COLLAPSE_ORACLE,

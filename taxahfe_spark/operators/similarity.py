@@ -1,13 +1,19 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three paths:
 - brute-force cosine top-k (the correctness baseline): broadcast the query
   set, JVM-side dot products via zip_with/aggregate, per-query top-k window.
-- LSH-bucketed top-k (the scale path): random-hyperplane signatures bucket
+- LSH-bucketed top-k (a scale path): random-hyperplane signatures bucket
   the corpus; only same-bucket candidates are scored. Recall < 1 by design;
   multiple hash tables raise it. Planes are generated from a seed on the
   driver (tiny) and inlined as literals — no UDF, no shuffle of the corpus
   beyond the bucket join.
+- IVF top-k (the other scale path): a seeded spherical k-means coarse
+  quantizer (trained on a hash-sampled, driver-bounded slice) partitions
+  the corpus into inverted lists; each query scores only its nprobe
+  nearest lists. The pruning happens inside a single corpus scan — no
+  shuffle, no index table — and nprobe >= n_centroids degenerates to the
+  exact brute-force result, which is how the driver value-oracle gates it.
 """
 
 from __future__ import annotations
@@ -217,6 +223,176 @@ def lsh_cosine_topk(
     scored = cand.withColumn(
         "cosine", F.round(cosine_similarity_col("q_vec", "c_vec"), 8)
     )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine", "rank")
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_size: int = 100_000,
+    iters: int = 15,
+) -> np.ndarray:
+    """Seeded spherical k-means centroids for the IVF coarse quantizer.
+
+    The trainer sees a HASH-SAMPLED slice of the corpus (layout-invariant:
+    membership depends on xxhash64(id), not partition order), collected to
+    the driver — at 100 TB the sample is a bounded O(sample_size x dim)
+    array, never the corpus. Lloyd iterations on unit-normalized vectors
+    (argmax dot == min cosine distance); k-means++-style seeding drawn from
+    the sample with a seeded RNG. Deterministic in (seed, corpus content).
+    """
+    n = corpus.count()
+    if n > sample_size:
+        # keep ~sample_size rows: pmod(hash) < threshold is content-keyed,
+        # so the trained centroids do not depend on partitioning
+        denom = 1_000_000
+        thresh = max(1, int(denom * sample_size / n))
+        sample = corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) < thresh
+        )
+    else:
+        sample = corpus
+    pdf = sample.select(id_col, vec_col).toPandas().sort_values(id_col)
+    X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    norms = np.sqrt((X * X).sum(axis=1))
+    X = X[norms > 0] / norms[norms > 0][:, None]
+    k = min(n_centroids, len(X))
+    rng = np.random.default_rng(seed)
+
+    # k-means++ seeding on the unit sphere (distance = 1 - dot)
+    cent = [X[rng.integers(len(X))]]
+    for _ in range(1, k):
+        d = 1.0 - np.max(np.stack([X @ c for c in cent]), axis=0)
+        d = np.clip(d, 1e-12, None)
+        cent.append(X[rng.choice(len(X), p=d / d.sum())])
+    C = np.stack(cent)
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    C[j] = m / nm
+    return C
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF approximate top-k cosine: (query_id, match_id, cosine, rank).
+
+    The inverted-file pruning happens INSIDE the corpus scan: one
+    mapInPandas pass assigns each Arrow batch's rows to their nearest
+    centroid (one matmul against the broadcast coarse quantizer) and scores
+    each centroid group only against the queries probing that centroid
+    (nprobe nearest centroids per query, computed driver-side on the
+    broadcast-sized query set). Zero shuffle of the corpus, no index
+    materialization — at 100 TB this is a single scan whose compute drops
+    by ~nprobe/n_centroids vs brute force, and the scan emits only local
+    top-k rows per (batch, query) so the final window ranks a bounded set.
+
+    ``nprobe >= n_centroids`` degenerates to EXACT brute force (every query
+    probes every list) — bit-identical to cosine_topk, which is how the
+    driver value-oracle gates this operator; recall at nprobe < n_centroids
+    is pinned by pytest instead.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+    Cq = np.asarray(centroids, dtype=np.float64)
+    nprobe = min(nprobe, len(Cq))
+
+    spark = queries.sparkSession
+    q_pdf = queries.select(id_col, vec_col).toPandas()
+    Q = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    q_ids = q_pdf[id_col].to_numpy()
+    # per-query probe lists -> inverted: centroid -> query rows probing it
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Qu = Q / np.where(qn > 0, qn, np.nan)[:, None]
+    sim_qc = np.nan_to_num(Qu @ Cq.T, nan=-np.inf)
+    probe = np.argsort(-sim_qc, axis=1, kind="stable")[:, :nprobe]
+    probed_by: dict[int, np.ndarray] = {
+        c: np.flatnonzero((probe == c).any(axis=1)) for c in range(len(Cq))
+    }
+    bc = spark.sparkContext.broadcast((q_ids, Q, qn, Cq, probed_by))
+    id_dtype = dict(queries.dtypes)[id_col]
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T._parse_datatype_string(id_dtype)),
+            T.StructField("match_id", T._parse_datatype_string(id_dtype)),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        q_ids_b, Qb, qnb, Cb, probed = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            cn = np.sqrt((C * C).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Cu = C / np.where(cn > 0, cn, np.nan)[:, None]
+            assign = np.argmax(np.nan_to_num(Cu @ Cb.T, nan=-np.inf), axis=1)
+            qcols, mrows, cos = [], [], []
+            for c in np.unique(assign):
+                q_rows = probed.get(int(c))
+                if q_rows is None or q_rows.size == 0:
+                    continue
+                rows = np.flatnonzero(assign == c)
+                denom = cn[rows][:, None] * qnb[q_rows][None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = np.round(
+                        (C[rows] @ Qb[q_rows].T)
+                        / np.where(denom > 0, denom, np.nan),
+                        8,
+                    )
+                for jj, qi in enumerate(q_rows):
+                    col = S[:, jj]
+                    mask = ~np.isnan(col)
+                    if exclude_self:
+                        mask &= ids[rows] != q_ids_b[qi]
+                    cand = np.flatnonzero(mask)
+                    if cand.size == 0:
+                        continue
+                    sub = rows[cand]
+                    order = cand[np.lexsort((ids[sub], -col[cand]))][:k]
+                    take = rows[order]
+                    qcols.extend([q_ids_b[qi]] * len(order))
+                    mrows.extend(ids[take])
+                    cos.extend(col[order])
+            yield pd.DataFrame(
+                {"query_id": qcols, "match_id": mrows, "cosine": cos}
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("match_id").asc()
     )

@@ -17,7 +17,12 @@ from taxahfe_spark.operators.dedup import (
     simhash,
     simhash_pairs,
 )
-from taxahfe_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from taxahfe_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_cosine_topk,
+    train_ivf_centroids,
+)
 from taxahfe_spark.operators.textstats import (
     doc_fingerprint,
     language_id,
@@ -155,6 +160,66 @@ def test_cosine_topk_vs_numpy(emb):
         ][:5]
         gq = got[got["query_id"] == qid].sort_values("rank")["match_id"].tolist()
         assert gq == order
+
+
+def test_ivf_exhaustive_probe_equals_brute_force(emb):
+    """nprobe == n_centroids scores every (query, row) pair exactly once —
+    the IVF machinery must be bit-identical to the exact baseline
+    (assignment, probe lists, local top-k pruning all exercised)."""
+    queries = emb.filter("vec_id < 10")
+    exact = (
+        cosine_topk(queries, emb, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    ivf = (
+        ivf_topk(queries, emb, k=5, n_centroids=6, nprobe=6, seed=3)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert exact["match_id"].tolist() == ivf["match_id"].tolist()
+    np.testing.assert_allclose(
+        exact["cosine"].to_numpy(), ivf["cosine"].to_numpy(), rtol=0, atol=0
+    )
+
+
+def test_ivf_centroids_deterministic_and_unit_norm(emb):
+    C1 = train_ivf_centroids(emb, 8, seed=11)
+    C2 = train_ivf_centroids(emb, 8, seed=11)
+    np.testing.assert_array_equal(C1, C2)
+    np.testing.assert_allclose(np.linalg.norm(C1, axis=1), 1.0, rtol=1e-9)
+    # and layout-invariant: a repartitioned corpus trains the same quantizer
+    C3 = train_ivf_centroids(emb.repartition(7), 8, seed=11)
+    np.testing.assert_array_equal(C1, C3)
+
+
+def test_ivf_recall_on_clustered_corpus(spark):
+    """nprobe < n_centroids must still recall neighbors that live in the
+    query's own cluster — the semantics the pruning is allowed to keep."""
+    rng = np.random.default_rng(17)
+    dim, per = 16, 40
+    centers = rng.normal(0, 1, (5, dim))
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(per):
+            v = c + rng.normal(0, 0.08, dim)
+            rows.append((vid, (v / np.linalg.norm(v)).astype(np.float32).tolist(), ci))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, cluster int")
+    queries = df.filter("vec_id % 40 = 0")  # one query per cluster
+    exact = cosine_topk(queries, df, k=10).toPandas()
+    approx = ivf_topk(
+        queries, df, k=10, n_centroids=5, nprobe=2, seed=17
+    ).toPandas()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["match_id"])
+        a = set(approx[approx["query_id"] == qid]["match_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.9  # tight clusters: own-list probing recalls
 
 
 def test_lsh_topk_finds_planted_neighbors(spark, emb):
