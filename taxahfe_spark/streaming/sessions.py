@@ -62,6 +62,49 @@ def streaming_session_stats(
     )
 
 
+def streaming_asof_snapshot(
+    events: DataFrame,
+    snapshot: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    value_cols: list[str] | None = None,
+    allow_exact_matches: bool = True,
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Streaming point-in-time join: each streamed event matched to the
+    latest STATIC snapshot row at-or-before its event time (north-rule
+    zero-temporal-leakage contract, continuously ingested).
+
+    Reuses the batch broadcast as-of strategy verbatim (operators/asof.py
+    ``strategy='broadcast'``): the snapshot dimension is collected once,
+    sorted per key, and probed with np.searchsorted inside a STATELESS
+    mapInPandas over the stream — no watermark, no state store, no shuffle;
+    the stream's partitioning is untouched and each micro-batch pays one
+    Arrow pass. Correct whenever the snapshot side is bounded (taxonomy
+    snapshots, dimension tables); batch == stream equality is pinned in
+    tests/test_sources_streaming.py. For a snapshot side that itself grows
+    in event time, use the batch union strategy over closed windows
+    instead — Structured Streaming cannot re-emit past matches when a
+    late snapshot arrives (the same reason the reference recomputes its
+    tree per run rather than incrementally, lib/tree.R:396-449).
+    """
+    from taxahfe_spark.operators.asof import asof_join
+
+    events = events.withColumn(left_ts, F.col(left_ts).cast("timestamp"))
+    return asof_join(
+        events,
+        snapshot,
+        on=on,
+        left_ts=left_ts,
+        right_ts=right_ts,
+        value_cols=value_cols,
+        allow_exact_matches=allow_exact_matches,
+        strategy="broadcast",
+        tolerance_seconds=tolerance_seconds,
+    )
+
+
 def streaming_windowed_counts(
     events: DataFrame,
     ts: str,

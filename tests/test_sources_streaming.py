@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -77,6 +78,59 @@ def test_streaming_sessions_match_batch(spark, sf_dir, tmp_path):
     assert len(g) == len(e)
     assert (g["n_events"].to_numpy() == e["n_events"].to_numpy()).all()
     assert (g["session_end"].to_numpy() == e["session_end"].to_numpy()).all()
+
+
+def test_streaming_asof_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming point-in-time join (stateless broadcast probe over a
+    file-source stream) returns the SAME matches as the batch as-of join
+    on the same events — the north rule's zero-leakage contract holds
+    under continuous ingestion."""
+    from pyspark.sql import functions as F
+
+    from taxahfe_spark.operators.asof import asof_join
+    from taxahfe_spark.streaming.sessions import streaming_asof_snapshot
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    snap = orders.groupBy(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("snap_ts"),
+    ).agg(F.max("o_totalprice").alias("o_totalprice"))
+
+    batch = asof_join(
+        events, snap, on="user_id", left_ts="ts", right_ts="snap_ts",
+        value_cols=["o_totalprice"], strategy="broadcast",
+    ).toPandas()
+
+    events.write.mode("overwrite").parquet(str(tmp_path / "ev_asof"))
+    stream = spark.readStream.schema(events.schema).parquet(
+        str(tmp_path / "ev_asof")
+    )
+    out = streaming_asof_snapshot(
+        stream, snap, on="user_id", left_ts="ts", right_ts="snap_ts",
+        value_cols=["o_totalprice"],
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asof_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM asof_out").toPandas()
+    finally:
+        q.stop()
+    b = batch.sort_values("event_id").reset_index(drop=True)
+    g = got.sort_values("event_id").reset_index(drop=True)
+    assert len(b) == len(g) == events.count()
+    assert (b["event_id"].to_numpy() == g["event_id"].to_numpy()).all()
+    bp = b["o_totalprice"].to_numpy(dtype=float)
+    gp = g["o_totalprice"].to_numpy(dtype=float)
+    same = (bp == gp) | (np.isnan(bp) & np.isnan(gp))
+    assert same.all()
 
 
 def test_iceberg_ddl_partition_contract(spark):
