@@ -147,6 +147,22 @@ def main() -> None:
     check("AUC midranks: no unpartitioned window", not unpartitioned_windows(p))
     check("AUC midranks: no SinglePartition exchange", "SinglePartition" not in p)
 
+    # 9. IVF ANN: the inverted-list probing is fused into the corpus scan —
+    #    zero Exchange before the mapInPandas scorer (the only shuffle in the
+    #    whole query is the final bounded top-k window over local-top-k rows)
+    from taxahfe_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = plan(ivf_topk(emb.filter("vec_id < 5"), emb, k=3, n_centroids=4, nprobe=2))
+    scan_side = p.split("MapInPandas")[-1]  # plan text below the scorer
+    check(
+        "IVF: no Exchange between parquet scan and the scoring pass",
+        "Exchange" not in scan_side,
+    )
+    n_exchange = p.count("Exchange hashpartitioning")
+    check("IVF: exactly one Exchange total (final top-k window)", n_exchange == 1,
+          f"found {n_exchange}")
+
     spark.stop()
     if failures:
         print(f"\n{len(failures)} plan properties FAILED: {failures}")
