@@ -548,6 +548,47 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
 """
 
 
+def q_contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the documents table: docs with
+    doc_id < 20 play the eval benchmark, the rest are the training side
+    scored for n-gram leakage. (Graft operator — LLM-pipeline family.)"""
+    from taxahfe_spark.operators.textstats import contamination_score
+
+    docs = _t(spark, sf_dir, "documents")
+    out = contamination_score(
+        docs.filter("doc_id >= 20"), docs.filter("doc_id < 20"), n=3
+    )
+    return out.select("doc_id", "n_ngrams", "n_matched", "contamination")
+
+
+_CONTAMINATION_ORACLE = """
+WITH dw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents
+),
+ng AS (
+  SELECT DISTINCT doc_id, ng FROM (
+    SELECT doc_id,
+           unnest([array_to_string(words[i:i+2], ' ')
+                   for i in range(1, greatest(len(words) - 2, 1) + 1)]) AS ng
+    FROM dw
+  )
+),
+bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id < 20),
+doc AS (SELECT doc_id, ng FROM ng WHERE doc_id >= 20),
+tot AS (SELECT doc_id, count(*) AS n_ngrams FROM doc GROUP BY 1),
+mat AS (
+  SELECT d.doc_id, count(*) AS n_matched
+  FROM doc d JOIN bench b USING (ng) GROUP BY 1
+)
+SELECT t.doc_id, t.n_ngrams, coalesce(m.n_matched, 0) AS n_matched,
+       round(CAST(coalesce(m.n_matched, 0) AS DOUBLE) / t.n_ngrams, 6)
+           AS contamination
+FROM tot t LEFT JOIN mat m ON t.doc_id = m.doc_id
+"""
+
+
 def q_cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxahfe_spark.operators.similarity import cosine_topk
 
@@ -1347,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_docs": q_language_id_docs,
         "token_counts_docs": q_token_counts_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
+        "contamination_docs": q_contamination_docs,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "cosine_allpairs_embeddings": q_cosine_allpairs_embeddings,
@@ -1592,6 +1634,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id_docs": _lang_oracle(),
         "token_counts_docs": _TOKEN_COUNTS_ORACLE,
         "ngram_jaccard_docs": _NGRAM_JACCARD_ORACLE,
+        "contamination_docs": _CONTAMINATION_ORACLE,
         "cosine_topk_embeddings": _COSINE_ORACLE,
         # exhaustive-probe IVF == brute force by construction, same oracle
         "ivf_topk_embeddings": _COSINE_ORACLE,

@@ -95,6 +95,69 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).drop("words")
 
 
+def _word_ngrams(df: DataFrame, id_cols: list[str], text_col: str, n: int):
+    """Distinct word n-grams per row (space-joined), built-ins only. Texts
+    shorter than n words contribute their full word sequence as one gram —
+    the same convention as ngram_jaccard_pairs / the DuckDB oracles."""
+    return (
+        words(df, text_col)
+        .select(
+            *id_cols,
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size("words") - n + 1, F.lit(1))
+                    ),
+                    lambda i: F.array_join(F.slice("words", i, n), " "),
+                )
+            ).alias("ng"),
+        )
+        .distinct()
+    )
+
+
+def contamination_score(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: per-document fraction of distinct word
+    n-grams that appear anywhere in a benchmark/eval corpus —
+    (id, n_ngrams, n_matched, contamination). Filter on ``contamination``
+    to quarantine train documents that leak eval data.
+
+    Scale shape: the benchmark n-gram set is aggregated and broadcast
+    (benchmarks are bounded by definition — an eval suite is MBs, the
+    training corpus is the 100 TB side), so the training side pays one
+    n-gram explode + a broadcast LEFT SEMI probe and one groupBy(id):
+    no shuffle carries document text, and the corpus is scanned once.
+    """
+    bench_text_col = bench_text_col or text_col
+    bench_ng = _word_ngrams(benchmark, [], bench_text_col, n).distinct()
+    doc_ng = _word_ngrams(docs, [id_col], text_col, n)
+    totals = doc_ng.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
+    matched = (
+        doc_ng.join(F.broadcast(bench_ng), "ng", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        totals.join(matched, id_col, "left")
+        .na.fill({"n_matched": 0})
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_matched",
+            F.round(F.col("n_matched") / F.col("n_ngrams"), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
 def doc_fingerprint(
     df: DataFrame,
     text_col: str = "text",

@@ -24,6 +24,7 @@ from taxahfe_spark.operators.similarity import (
     train_ivf_centroids,
 )
 from taxahfe_spark.operators.textstats import (
+    contamination_score,
     doc_fingerprint,
     language_id,
     text_stats,
@@ -131,6 +132,34 @@ def test_token_counts(docs):
     tc = token_counts(docs)
     row = tc.filter("n_chars > 20").first()
     assert row["n_words"] > 0 and row["n_bpe_units"] >= row["n_words"]
+
+
+def test_contamination_score_engineered(spark):
+    """Hand-checkable leakage fractions: a verbatim copy scores 1.0, a
+    half-leaked doc scores its exact distinct-trigram overlap, clean text
+    scores 0.0 and still appears in the output."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # verbatim
+            (2, "the quick brown fox went somewhere else entirely today"),
+            (3, "completely clean text with no overlap whatsoever here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in contamination_score(docs, bench, n=3).collect()
+    }
+    assert got[1]["contamination"] == 1.0
+    # doc 2: 9 words -> 7 distinct trigrams, leaked = {"the quick brown",
+    # "quick brown fox"} -> 2/7
+    assert got[2]["n_ngrams"] == 7 and got[2]["n_matched"] == 2
+    assert abs(got[2]["contamination"] - round(2 / 7, 6)) < 1e-9
+    assert got[3]["n_matched"] == 0 and got[3]["contamination"] == 0.0
 
 
 def test_doc_fingerprint_stability(spark):
