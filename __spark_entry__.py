@@ -548,6 +548,53 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
 """
 
 
+def q_dedup_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the tokenized-sequence shape (north-rule input_hint):
+    tokenize, truncate to 2-token prefixes to manufacture duplicates, keep
+    the min-id row per distinct sequence. Phase-1 hash aggregation never
+    shuffles arrays; phase-2 verifies full arrays only inside repeated-hash
+    groups, so the result is exact under hash collisions."""
+    from taxahfe_spark.tokens import dedup_sequences, tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    seqs = tokenize(docs, "text", "doc_id")
+    pref = seqs.select("doc_id", F.slice("tokens", 1, 2).alias("pfx"))
+    kept = dedup_sequences(pref, "pfx", "doc_id")
+    return kept.select(
+        "doc_id",
+        F.size("pfx").cast("long").alias("pfx_len"),
+        F.aggregate(
+            "pfx", F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
+        ).alias("pfx_sum"),
+    )
+
+
+_DEDUP_SEQ_ORACLE = """
+WITH dw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents
+),
+vocab AS (
+  SELECT word, CAST(row_number() OVER (ORDER BY word) - 1 AS BIGINT) AS token_id
+  FROM (SELECT DISTINCT unnest(words) AS word FROM dw)
+),
+ex AS (
+  SELECT doc_id, unnest(words) AS word,
+         unnest(range(1, len(words) + 1)) AS pos
+  FROM dw
+),
+toks AS (
+  SELECT e.doc_id, (list(v.token_id ORDER BY e.pos))[1:2] AS pfx
+  FROM ex e JOIN vocab v USING (word) GROUP BY e.doc_id
+),
+kept AS (SELECT pfx, min(doc_id) AS doc_id FROM toks GROUP BY pfx)
+SELECT doc_id, CAST(len(pfx) AS BIGINT) AS pfx_len,
+       CAST(list_aggregate(pfx, 'sum') AS BIGINT) AS pfx_sum
+FROM kept
+"""
+
+
 def q_contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination over the documents table: docs with
     doc_id < 20 play the eval benchmark, the rest are the training side
@@ -1389,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_docs": q_token_counts_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "contamination_docs": q_contamination_docs,
+        "dedup_sequences_docs": q_dedup_sequences,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "cosine_allpairs_embeddings": q_cosine_allpairs_embeddings,
@@ -1635,6 +1683,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts_docs": _TOKEN_COUNTS_ORACLE,
         "ngram_jaccard_docs": _NGRAM_JACCARD_ORACLE,
         "contamination_docs": _CONTAMINATION_ORACLE,
+        "dedup_sequences_docs": _DEDUP_SEQ_ORACLE,
         "cosine_topk_embeddings": _COSINE_ORACLE,
         # exhaustive-probe IVF == brute force by construction, same oracle
         "ivf_topk_embeddings": _COSINE_ORACLE,

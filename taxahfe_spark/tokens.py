@@ -116,6 +116,39 @@ def tokenize(
     )
 
 
+def dedup_sequences(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup over pre-tokenized sequences — the north-rule input shape
+    (doc_id, tokens array<int32>, ...). Keeps the min-id row per DISTINCT
+    token array.
+
+    Scale shape (10^12 sequences): phase 1 aggregates on xxhash64(tokens)
+    only, so the first exchange carries 8-byte keys, never arrays; rows
+    whose hash is globally unique are kept via a key-only semi join with
+    zero array movement. Phase 2 re-partitions ONLY rows in repeated-hash
+    groups (the true-duplicate fraction plus a negligible collision set)
+    and breaks ties on the FULL array inside the group — so the result is
+    EXACT even under 64-bit hash collisions, unlike plain hash-keyed
+    dedup (exact_dedup documents that trade the other way for one pass).
+    """
+    keyed = df.withColumn("__h", F.xxhash64(F.col(tokens_col)))
+    counts = keyed.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+    uniq = keyed.join(
+        counts.filter(F.col("__c") == 1).select("__h"), "__h", "left_semi"
+    )
+    dup = keyed.join(
+        counts.filter(F.col("__c") > 1).select("__h"), "__h", "left_semi"
+    )
+    w = Window.partitionBy("__h", tokens_col).orderBy(F.col(id_col).asc())
+    kept_dup = (
+        dup.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return uniq.unionByName(kept_dup).drop("__h")
+
+
 def assert_n_tok_invariant(seqs: DataFrame) -> None:
     """Per-row invariant from BASELINE.json input_hint: n_tok == size(tokens)."""
     bad = seqs.filter(F.size("tokens") != F.col("n_tok")).count()

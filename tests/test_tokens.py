@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from taxahfe_spark.tokens import (
     assert_n_tok_invariant,
     build_vocab,
+    dedup_sequences,
     point_in_time_token_features,
     token_count_rollup,
     tokenize,
@@ -133,6 +134,29 @@ def test_build_vocab_prefix_partitioned_matches_global_sort(spark):
         r["word"]: r["token_id"] for r in build_vocab(docs).collect()
     }
     assert got_small == expected
+
+
+def test_dedup_sequences_exact_min_id(spark):
+    """Min-id keeper per distinct token array; rows with unique sequences
+    survive untouched; the full-array phase-2 check means two DIFFERENT
+    arrays are never merged (exactness under hash collisions is untestable
+    directly, but the array is part of the phase-2 partition key)."""
+    df = spark.createDataFrame(
+        [
+            (5, [1, 2, 3]),
+            (2, [1, 2, 3]),   # duplicate of 5 -> min id 2 wins
+            (7, [1, 2]),      # prefix, NOT a duplicate
+            (9, []),          # empty sequence is a valid dedup key
+            (11, []),
+            (3, [4]),
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    kept = sorted(r["doc_id"] for r in dedup_sequences(df).collect())
+    assert kept == [2, 3, 7, 9]
+    # idempotent and deterministic
+    again = sorted(r["doc_id"] for r in dedup_sequences(df).collect())
+    assert again == kept
 
 
 def test_sample_by_source_deterministic_rates(spark):
