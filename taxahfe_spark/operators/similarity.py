@@ -263,9 +263,13 @@ def train_ivf_centroids(
     else:
         sample = corpus
     pdf = sample.select(id_col, vec_col).toPandas().sort_values(id_col)
+    if not len(pdf):
+        raise ValueError("train_ivf_centroids: corpus sample is empty")
     X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     norms = np.sqrt((X * X).sum(axis=1))
     X = X[norms > 0] / norms[norms > 0][:, None]
+    if not len(X):
+        raise ValueError("train_ivf_centroids: no non-zero-norm vectors")
     k = min(n_centroids, len(X))
     rng = np.random.default_rng(seed)
 
