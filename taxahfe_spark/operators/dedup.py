@@ -31,12 +31,40 @@ def normalize_text(col) -> F.Column:
 
 
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dup_broadcast_max: int = 5_000_000,
 ) -> DataFrame:
-    """Keep one row (min id) per exact normalized-text group."""
+    """Keep one row (min id) per exact normalized-text group.
+
+    Scale shape: the aggregate shuffles 8-byte hash keys only, and what it
+    materializes is the DUPLICATE-group frame (count > 1) — small whenever
+    the duplicate fraction is modest — so unique rows (the bulk of the
+    corpus) are kept IN PLACE via a broadcast anti join: document bodies
+    never enter an exchange. Duplicate-group keepers come back via a
+    broadcast semi join on (hash, min_id). Above ``dup_broadcast_max`` dup
+    groups (extreme-duplication regime) both joins fall back to shuffles —
+    the guard makes that switch explicit. Hash-keyed (64-bit) rather than
+    collision-exact by design; dedup_sequences documents the collision-exact
+    two-phase variant.
+    """
     keyed = df.withColumn("__k", F.xxhash64(normalize_text(text_col)))
-    keep = keyed.groupBy("__k").agg(F.min(id_col).alias(id_col))
-    return keyed.join(keep, ["__k", id_col], "left_semi").drop("__k")
+    dup_keep = (
+        keyed.groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__c"), F.min(id_col).alias(id_col))
+        .filter(F.col("__c") > 1)
+        .select("__k", id_col)
+        .persist()
+    )
+    small = dup_keep.count() <= dup_broadcast_max
+    anti_right = dup_keep.select("__k")
+    semi_right = dup_keep
+    if small:
+        anti_right, semi_right = F.broadcast(anti_right), F.broadcast(semi_right)
+    uniq = keyed.join(anti_right, "__k", "left_anti")
+    kept_dup = keyed.join(semi_right, ["__k", id_col], "left_semi")
+    return uniq.unionByName(kept_dup).drop("__k")
 
 
 def char_shingles(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:

@@ -117,29 +117,45 @@ def tokenize(
 
 
 def dedup_sequences(
-    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id"
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    dup_broadcast_max: int = 5_000_000,
 ) -> DataFrame:
     """Exact dedup over pre-tokenized sequences — the north-rule input shape
     (doc_id, tokens array<int32>, ...). Keeps the min-id row per DISTINCT
     token array.
 
     Scale shape (10^12 sequences): phase 1 aggregates on xxhash64(tokens)
-    only, so the first exchange carries 8-byte keys, never arrays; rows
-    whose hash is globally unique are kept via a key-only semi join with
-    zero array movement. Phase 2 re-partitions ONLY rows in repeated-hash
-    groups (the true-duplicate fraction plus a negligible collision set)
-    and breaks ties on the FULL array inside the group — so the result is
-    EXACT even under 64-bit hash collisions, unlike plain hash-keyed
-    dedup (exact_dedup documents that trade the other way for one pass).
+    only, so the first exchange carries 8-byte keys, never arrays. The
+    REPEATED-hash set (true duplicates + a negligible collision set) is what
+    gets materialized — it is small whenever the duplicate fraction is
+    modest, so unique rows are kept IN PLACE via a broadcast anti join
+    (zero array movement, no corpus-sized shuffle), and only rows in
+    repeated-hash groups are re-partitioned for the phase-2 full-array
+    tie-break — so the result is EXACT even under 64-bit hash collisions,
+    unlike plain hash-keyed dedup (exact_dedup documents that trade the
+    other way). When the dup-hash set exceeds ``dup_broadcast_max`` rows
+    (an extreme-duplication corpus where the dup universe is itself
+    corpus-scale), the joins fall back to shuffles — unavoidable there,
+    and the guard makes the regime switch explicit instead of OOMing the
+    driver. The source is scanned twice (counts pass + keep pass): scans
+    parallelize linearly at 100 TB, shuffles of array payloads do not —
+    that is the intended trade, and the dup-hash frame (the only thing
+    reused three times) is pinned.
     """
     keyed = df.withColumn("__h", F.xxhash64(F.col(tokens_col)))
-    counts = keyed.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
-    uniq = keyed.join(
-        counts.filter(F.col("__c") == 1).select("__h"), "__h", "left_semi"
+    dup_hashes = (
+        keyed.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("__h")
+        .persist()
     )
-    dup = keyed.join(
-        counts.filter(F.col("__c") > 1).select("__h"), "__h", "left_semi"
-    )
+    small = dup_hashes.count() <= dup_broadcast_max
+    right = F.broadcast(dup_hashes) if small else dup_hashes
+    uniq = keyed.join(right, "__h", "left_anti")
+    dup = keyed.join(right, "__h", "left_semi")
     w = Window.partitionBy("__h", tokens_col).orderBy(F.col(id_col).asc())
     kept_dup = (
         dup.withColumn("__rn", F.row_number().over(w))

@@ -163,6 +163,41 @@ def main() -> None:
     check("IVF: exactly one Exchange total (final top-k window)", n_exchange == 1,
           f"found {n_exchange}")
 
+    # 10. exact-dedup family: unique rows kept IN PLACE via broadcast anti
+    #     join — the array/text payload never enters an exchange for unique
+    #     rows; the ONLY exchange whose partitioning keys include the payload
+    #     column is the dup-group tie-break window (dup rows only)
+    from taxahfe_spark.operators.dedup import exact_dedup
+    from taxahfe_spark.tokens import dedup_sequences, tokenize
+
+    seqs = tokenize(docs, "text", "doc_id")
+    p = plan(dedup_sequences(seqs))
+    check("dedup_sequences: no SortMergeJoin anywhere", "SortMergeJoin" not in p)
+    check(
+        "dedup_sequences: broadcast LeftAnti keeps unique rows in place",
+        "BroadcastHashJoin" in p and "LeftAnti" in p,
+    )
+    ex_keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+    tok_ex = [k for k in ex_keys if "tokens#" in k]
+    check(
+        "dedup_sequences: tokens exchanged ONLY for the dup-group window",
+        len(tok_ex) <= 1,
+        f"payload-carrying exchanges: {tok_ex}",
+    )
+    p = plan(exact_dedup(docs))
+    check("exact_dedup: no SortMergeJoin anywhere", "SortMergeJoin" not in p)
+    check(
+        "exact_dedup: broadcast LeftAnti keeps unique rows in place",
+        "BroadcastHashJoin" in p and "LeftAnti" in p,
+    )
+    ex_keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+    txt_ex = [k for k in ex_keys if "text#" in k]
+    check(
+        "exact_dedup: document text never enters an exchange",
+        len(txt_ex) == 0,
+        f"payload-carrying exchanges: {txt_ex}",
+    )
+
     spark.stop()
     if failures:
         print(f"\n{len(failures)} plan properties FAILED: {failures}")
