@@ -620,6 +620,7 @@ ng AS (
            unnest([array_to_string(words[i:i+2], ' ')
                    for i in range(1, greatest(len(words) - 2, 1) + 1)]) AS ng
     FROM dw
+    WHERE len(words) > 0  -- zero-word docs contribute no grams (engine parity)
   )
 ),
 bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id < 20),

@@ -86,7 +86,7 @@ def _suite(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
     # steady-state compute; the median (not best-of) is robust to a busy-box
     # outlier without cherry-picking the luckiest rep.
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    out: dict[str, tuple[float, int]] = {}
+    out: dict[str, tuple[float, int, float]] = {}
     for name in headline:
         t0 = time.time()
         rows = _materialize(qs[name](spark, sf_dir))
@@ -95,6 +95,11 @@ def _suite(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
             file=sys.stderr,
             flush=True,
         )
+        # per-query vCPU-steal delta over the TIMED reps: the round-5 record
+        # was taken on a degraded host and only a judge rerun could prove it —
+        # the default mode (what the driver records as BENCH_rN.json) now
+        # carries the same evidence the --scaling/--replica modes already do
+        steal0 = _steal_jiffies()
         times = []
         for _ in range(reps):
             # drop the previous rep's frame refs BEFORE timing: localCheckpoint
@@ -112,10 +117,11 @@ def _suite(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
         med = times[len(times) // 2] if reps % 2 else (
             (times[reps // 2 - 1] + times[reps // 2]) / 2
         )
-        out[name] = (round(med, 3), rows)
+        steal = round((_steal_jiffies() - steal0) / 100.0, 1)
+        out[name] = (round(med, 3), rows, steal)
         print(
             f"# {name}: median {out[name][0]}s of {[round(t, 3) for t in times]}"
-            f" {rows} rows",
+            f" {rows} rows steal {steal}s",
             file=sys.stderr,
             flush=True,
         )
@@ -348,15 +354,18 @@ def run_once(cpus: int, sf_dir: str, scaling: bool = False) -> dict:
         res = _scaling_suite(spark, sf_dir) if scaling else _suite(spark, sf_dir)
     finally:
         spark.stop()
-    total_sec = round(sum(s for s, _ in res.values()), 3)
-    total_rows = sum(r for _, r in res.values())
-    return {
+    total_sec = round(sum(v[0] for v in res.values()), 3)
+    total_rows = sum(v[1] for v in res.values())
+    out = {
         "cpus": cpus,
         "total_sec": total_sec,
         "total_rows": total_rows,
         "rows_per_sec": round(total_rows / total_sec, 1),
-        "queries": {k: s for k, (s, _) in res.items()},
+        "queries": {k: v[0] for k, v in res.items()},
     }
+    if not scaling:  # _suite stamps per-query steal; _scaling_suite does not
+        out["steal_s_per_query"] = {k: v[2] for k, v in res.items()}
+    return out
 
 
 def _steal_jiffies() -> int:
@@ -520,6 +529,11 @@ def main() -> None:
         )
         return
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # same-session box-health stamp FIRST (VERDICT r5 task 2): the r5 record
+    # was degraded-host data and only a judge rerun could prove it — the
+    # default mode now self-identifies via the same probe rates + steal
+    # evidence the --scaling/--replica modes carry
+    probes = _probe_rates()
     r = run_once(cpus, sf_dir)
     print(
         json.dumps(
@@ -532,6 +546,9 @@ def main() -> None:
                 "rows_per_sec": r["rows_per_sec"],
                 "total_rows": r["total_rows"],
                 "cpus": cpus,
+                "probes_units_per_sec": probes,
+                "box_degraded": probes["box_degraded"],
+                "steal_s_per_query": r["steal_s_per_query"],
             }
         )
     )

@@ -241,6 +241,7 @@ def train_ivf_centroids(
     seed: int = 42,
     sample_size: int = 100_000,
     iters: int = 15,
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """Seeded spherical k-means centroids for the IVF coarse quantizer.
 
@@ -250,18 +251,33 @@ def train_ivf_centroids(
     array, never the corpus. Lloyd iterations on unit-normalized vectors
     (argmax dot == min cosine distance); k-means++-style seeding drawn from
     the sample with a seeded RNG. Deterministic in (seed, corpus content).
+
+    No counting scan: the default path takes the ``sample_size`` rows with
+    the SMALLEST xxhash64(id) via orderBy+limit — Spark plans that as
+    TakeOrderedAndProject (per-partition top-k, driver merge), so sampling
+    is ONE corpus scan with bounded driver memory and no prior
+    ``corpus.count()`` job (the r5 trainer paid a full extra scan just to
+    size a threshold). Callers that already know the corpus size can pass
+    ``n_rows`` to keep the cheaper stateless hash-threshold filter.
     """
-    n = corpus.count()
-    if n > sample_size:
+    if n_rows is not None and n_rows > sample_size:
         # keep ~sample_size rows: pmod(hash) < threshold is content-keyed,
         # so the trained centroids do not depend on partitioning
         denom = 1_000_000
-        thresh = max(1, int(denom * sample_size / n))
-        sample = corpus.filter(
+        thresh = max(1, int(denom * sample_size / n_rows))
+        sample = corpus.select(id_col, vec_col).filter(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) < thresh
         )
+    elif n_rows is not None:
+        sample = corpus.select(id_col, vec_col)
     else:
-        sample = corpus
+        sample = (
+            corpus.select(id_col, vec_col)
+            .withColumn("__h", F.xxhash64(F.col(id_col)))
+            .orderBy("__h", id_col)
+            .limit(sample_size)
+            .drop("__h")
+        )
     pdf = sample.select(id_col, vec_col).toPandas().sort_values(id_col)
     if not len(pdf):
         raise ValueError("train_ivf_centroids: corpus sample is empty")

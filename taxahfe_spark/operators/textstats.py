@@ -97,10 +97,14 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _word_ngrams(df: DataFrame, id_cols: list[str], text_col: str, n: int):
     """Distinct word n-grams per row (space-joined), built-ins only. Texts
-    shorter than n words contribute their full word sequence as one gram —
-    the same convention as ngram_jaccard_pairs / the DuckDB oracles."""
+    shorter than n words contribute their full word sequence as one gram;
+    zero-word texts contribute NO grams (a slice of an empty array is '',
+    and an empty-string gram would make every empty doc "match" an empty
+    benchmark doc with contamination 1.0) — the same convention as
+    ngram_jaccard_pairs / the DuckDB oracles."""
     return (
         words(df, text_col)
+        .filter(F.size("words") > 0)
         .select(
             *id_cols,
             F.explode(
@@ -123,27 +127,42 @@ def contamination_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     bench_text_col: str | None = None,
+    bench_broadcast_max: int = 5_000_000,
 ) -> DataFrame:
     """Benchmark decontamination: per-document fraction of distinct word
     n-grams that appear anywhere in a benchmark/eval corpus —
     (id, n_ngrams, n_matched, contamination). Filter on ``contamination``
-    to quarantine train documents that leak eval data.
+    to quarantine train documents that leak eval data. Zero-word documents
+    have no n-grams and get no output row (see _word_ngrams).
 
     Scale shape: the benchmark n-gram set is aggregated and broadcast
     (benchmarks are bounded by definition — an eval suite is MBs, the
     training corpus is the 100 TB side), so the training side pays one
     n-gram explode + a broadcast LEFT SEMI probe and one groupBy(id):
     no shuffle carries document text, and the corpus is scanned once.
+    Above ``bench_broadcast_max`` distinct benchmark grams (someone passed
+    a corpus, not a benchmark) the probe falls back to a shuffle semi join
+    keyed on xxhash64(gram) — the exchange then carries (id, 8-byte key)
+    pairs only, never gram strings or text, at a ~2^-64-per-pair false-match
+    risk documented here instead of an un-guarded driver OOM.
     """
     bench_text_col = bench_text_col or text_col
-    bench_ng = _word_ngrams(benchmark, [], bench_text_col, n).distinct()
+    bench_ng = _word_ngrams(benchmark, [], bench_text_col, n).distinct().persist()
     doc_ng = _word_ngrams(docs, [id_col], text_col, n)
     totals = doc_ng.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
-    matched = (
-        doc_ng.join(F.broadcast(bench_ng), "ng", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_matched"))
-    )
+    if bench_ng.count() <= bench_broadcast_max:
+        probed = doc_ng.join(F.broadcast(bench_ng), "ng", "left_semi")
+    else:
+        probed = (
+            doc_ng.withColumn("__g", F.xxhash64("ng"))
+            .select(id_col, "__g")
+            .join(
+                bench_ng.select(F.xxhash64("ng").alias("__g")).distinct(),
+                "__g",
+                "left_semi",
+            )
+        )
+    matched = probed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matched"))
     return (
         totals.join(matched, id_col, "left")
         .na.fill({"n_matched": 0})

@@ -162,6 +162,62 @@ def test_contamination_score_engineered(spark):
     assert got[3]["n_matched"] == 0 and got[3]["contamination"] == 0.0
 
 
+def test_contamination_shuffle_fallback_matches_broadcast(spark):
+    """bench_broadcast_max=0 forces the hashed shuffle semi join; values must
+    equal the broadcast path exactly (the xxhash64 key is an 1:1 stand-in for
+    the gram at test scale)."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox went somewhere else entirely today"),
+            (3, "completely clean text with no overlap whatsoever here"),
+        ],
+        ["doc_id", "text"],
+    )
+    fast = contamination_score(docs, bench, n=3).orderBy("doc_id").collect()
+    slow = (
+        contamination_score(docs, bench, n=3, bench_broadcast_max=0)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+
+
+def test_contamination_empty_docs_emit_no_grams(spark):
+    """A zero-word doc must get NO output row, and an empty benchmark doc
+    must not make every empty training doc score contamination 1.0 via the
+    '' gram (ADVICE r5)."""
+    bench = spark.createDataFrame(
+        [(100, ""), (101, "real benchmark text here")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real benchmark text here")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in contamination_score(docs, bench, n=3).collect()}
+    assert 1 not in got and 2 not in got  # no spurious full-leak rows
+    assert got[3]["contamination"] == 1.0
+
+
+def test_ivf_centroids_no_count_sample_path(emb):
+    """The default (no n_rows hint) trainer samples via TakeOrdered on
+    xxhash64(id) — no corpus.count() job. When the corpus exceeds
+    sample_size it must keep exactly sample_size content-keyed rows and stay
+    layout-invariant; the n_rows-hint path must keep working too."""
+    C1 = train_ivf_centroids(emb, 4, seed=3, sample_size=50)
+    C2 = train_ivf_centroids(emb.repartition(5), 4, seed=3, sample_size=50)
+    np.testing.assert_array_equal(C1, C2)
+    # hint path: small corpus short-circuits to the full frame
+    n = emb.count()
+    C3 = train_ivf_centroids(emb, 4, seed=3, n_rows=n)
+    C4 = train_ivf_centroids(emb, 4, seed=3, n_rows=n, sample_size=10**9)
+    np.testing.assert_array_equal(C3, C4)
+
+
 def test_doc_fingerprint_stability(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j"), (3, "x y z w v u t s r q")],

@@ -47,6 +47,23 @@ def main() -> None:
     wall = time.time() - t0
 
     stages = _api(port, f"applications/{app_id}/stages?status=complete")
+    # attribution covers exactly the measured window: drop stages submitted
+    # before t0 (the warm-up job) so run-time/occupancy/cpu_fraction are not
+    # inflated by work outside the timed suite
+    def _sub_epoch(st) -> float:
+        raw = st.get("submissionTime", "")
+        try:
+            from datetime import datetime, timezone
+
+            return (
+                datetime.strptime(raw.replace("GMT", ""), "%Y-%m-%dT%H:%M:%S.%f")
+                .replace(tzinfo=timezone.utc)
+                .timestamp()
+            )
+        except Exception:
+            return float("inf")  # unparseable -> keep (never silently drop work)
+
+    stages = [st for st in stages if _sub_epoch(st) >= t0]
     agg = {
         "executorRunTime_s": 0.0,
         "executorCpuTime_s": 0.0,
