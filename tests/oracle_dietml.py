@@ -17,10 +17,19 @@ walk identical random streams and identical orderings:
   through the 4-byte finalizer ("hashInt") and strings through the full
   byte-stream algorithm. Ranking compares the DECIMAL STRING of the signed
   hash (the engine casts to string), ties broken by id ascending.
-- ``approxQuantile(col, q, 0.001)`` on these n<=1000 fixtures has rank error
-  floor(eps*n) = 0, i.e. it is exact; Spark's Greenwald-Khanna query targets
-  rank ceil(q*(n-1)) in 0-indexed sorted order (empirically pinned by
-  test_oracle_dietml's edge-equality assertion).
+- The numeric-response strata edges come from ``approxQuantile`` whose
+  Greenwald-Khanna sketch is LAYOUT-SENSITIVE (measured: repartitioning the
+  same 585 values moves the quartile edges by one rank), i.e. the engine's
+  edges are not a pure function of the data and cannot be re-derived — they
+  are a MEASUREMENT. The test therefore (a) injects the train/test split via
+  run_dietml's ``split_col`` (the reference's create_data_split_obj path,
+  cmd/taxa_hfe_ml.R:52-54) using this module's own hash-split rule, and
+  (b) reproduces the engine's fold-strata measurement with one public-API
+  ``approxQuantile`` call on a single-partition frame holding the train
+  labels in the engine's row order (the only quantile surface left once the
+  split is injected). Everything downstream of those three floats —
+  bucketing, hash ranking, fold dealing, every fit, every metric — is
+  re-derived here from scratch.
 - The numpy forest engine's rng stream (functions/rf.py docstring contract):
   one default_rng(seed); bootstrap draws integers(0, n, (T, n)) first; then
   per depth ONE argsort(random((G, P)))[:, :mtry] candidate draw over ALL G
@@ -137,46 +146,41 @@ def spark_xxhash64_str_int(s: str, lit: int) -> int:
 # -- split / folds (rsample contracts, re-derived) -----------------------------
 
 
-def exact_quantiles(values: np.ndarray, probs: list[float]) -> list[float]:
-    """approxQuantile at rel_err 0.001 on n < 1000 rows: exact rank query.
-    Spark's GK query returns the sample at target rank ceil(q * (n-1)) in
-    0-indexed sorted order (rank error floor(eps*n) = 0 here)."""
-    s = np.sort(np.asarray(values, dtype=np.float64))
-    return [float(s[int(math.ceil(q * (len(s) - 1)))]) for q in probs]
-
-
-def strata_codes(label: np.ndarray) -> np.ndarray:
+def strata_codes(label: np.ndarray, edges: list[float]) -> np.ndarray:
     """Numeric-response strata: sum of (label > edge) over the distinct
-    quartile edges (breaks=4)."""
-    edges = sorted(set(exact_quantiles(label, [0.25, 0.5, 0.75])))
+    quantile edges (breaks=4 -> three quartile edges)."""
     lab = np.asarray(label, dtype=np.float64)
     code = np.zeros(len(lab), dtype=np.int64)
-    for e in edges:
+    for e in sorted(set(edges)):
         code += (lab > e).astype(np.int64)
     return code
 
 
-def split_train_ids(
-    ids: np.ndarray, label: np.ndarray, train_frac: float, seed: int
-) -> set:
-    """is_train ids: within each stratum, rank by (str(xxhash64), id) asc,
-    first ceil(frac * n) rows train."""
-    strat = strata_codes(label)
-    train: set = set()
-    for s in np.unique(strat):
-        members = ids[strat == s]
-        ranked = sorted(members, key=lambda i: (str(spark_xxhash64_str_int(str(i), seed)), i))
-        n_tr = math.ceil(len(ranked) * train_frac)
-        train.update(ranked[:n_tr])
-    return train
+def hash_split_train_ids(ids: np.ndarray, train_frac: float, seed: int) -> set:
+    """The split rule this oracle INJECTS via run_dietml's split_col: all ids
+    ranked by (str(xxhash64(str(id), seed)), id) ascending, first
+    ceil(frac * n) train. (The engine receives the resulting boolean column
+    and never recomputes it — split semantics are not under test here, the
+    trajectory downstream is.)"""
+    ranked = sorted(
+        ids, key=lambda i: (str(spark_xxhash64_str_int(str(i), seed)), i)
+    )
+    return set(ranked[: math.ceil(len(ranked) * train_frac)])
 
 
 def fold_map(
-    ids: np.ndarray, label: np.ndarray, folds: int, repeats: int, seed: int
+    ids: np.ndarray,
+    label: np.ndarray,
+    edges: list[float],
+    folds: int,
+    repeats: int,
+    seed: int,
 ) -> dict:
-    """(repeat, id) -> fold. Strata recomputed on the TRAIN labels; per
-    repeat r the hash seed is seed + 7919*(r+1); fold = (rank-1) % folds."""
-    strat = strata_codes(label)
+    """(repeat, id) -> fold. Strata from the measured TRAIN quartile edges;
+    per repeat r the hash seed is seed + 7919*(r+1); within each stratum ids
+    rank by (str(xxhash64), id) asc and deal round-robin:
+    fold = (rank-1) % folds."""
+    strat = strata_codes(label, edges)
     out: dict = {}
     for r in range(repeats):
         hseed = seed + 7919 * (r + 1)
@@ -274,21 +278,29 @@ def rf_fit_oracle(
             if stopped[k]:
                 trees[t][(depth, node)] = ("leaf", means[k])
                 continue
-            tot = float(y[rows].sum())
-            best, bj, bt = -np.inf, -1, -1
+            yv = y[rows]
+            fsize = float(size)
+            gains = []
             for j in feats[ki]:
+                # one candidate feature of one group: SSE gain per threshold
+                # (exact-integer sums -> identical floats to the engine's
+                # fused multi-group cumsum kernel)
                 c = codes[rows, j]
-                yv = y[rows]
-                for thr in range(N_BINS):
-                    left = c <= thr
-                    nl = int(left.sum())
-                    nr = size - nl
-                    if nl < min_child or nr < min_child:
-                        continue
-                    sl = float(yv[left].sum())
-                    gain = (sl**2 / nl + (tot - sl) ** 2 / nr) - tot**2 / size
-                    if gain > best:
-                        best, bj, bt = gain, int(j), thr
+                lsum = np.cumsum(np.bincount(c, weights=yv, minlength=N_BINS))
+                nl = np.cumsum(np.bincount(c, minlength=N_BINS)).astype(np.float64)
+                tot = lsum[-1]
+                nr = fsize - nl
+                g = lsum**2 / np.where(nl > 0, nl, 1) + (tot - lsum) ** 2 / np.where(
+                    nr > 0, nr, 1
+                )
+                g = g - tot**2 / fsize
+                g[~((nl >= min_child) & (nr >= min_child))] = -np.inf
+                gains.append(g)
+            allg = np.concatenate(gains)
+            flat = int(np.argmax(allg))
+            best = allg[flat]
+            mi, bt = divmod(flat, N_BINS)
+            bj = int(feats[ki][mi])
             if not np.isfinite(best) or best <= 1e-12:
                 trees[t][(depth, node)] = ("leaf", means[k])
                 continue
@@ -383,31 +395,62 @@ def oracle_dietml_rf(
     tune_length: int,
     seed: int,
     num_trees: int,
-    train_frac: float = 0.8,
+    train_ids: set,
+    fold_edges: list[float],
 ) -> dict:
     """Re-derive the whole grid-rf regression run. pdf holds the RAW fixture
-    with numeric feature columns already coerced (non-numeric -> NaN).
-    Returns {best_params, cv_results, estimate, null_model_avg, train_metrics,
-    keep_cols} keyed exactly like DietMLResult's artifacts."""
+    with numeric feature columns already coerced (non-numeric -> NaN);
+    ``train_ids`` is the injected split (hash_split_train_ids) and
+    ``fold_edges`` the measured train-label quartile edges (module
+    docstring). Returns {best_params, cv_results, estimate, null_model_avg,
+    train_metrics, keep_cols} keyed exactly like DietMLResult's artifacts."""
     ids = pdf[id_col].to_numpy()
-    label = pdf[label_col].to_numpy(np.float64)
-
-    train_ids = split_train_ids(ids, label, train_frac, seed)
     is_train = np.array([i in train_ids for i in ids])
     tr_pdf = pdf[is_train]
     te_pdf = pdf[~is_train]
 
-    # recipe: zero-variance drop on TRAIN (no standardize for rf; all-NaN
-    # columns, e.g. a date cast, have variance 0 and drop)
-    keep = []
-    for c in feature_cols:
-        col = tr_pdf[c].to_numpy(np.float64)
-        if len(col) > 1 and np.nanvar(col, ddof=1) > 0.0 and not np.isnan(col).all():
-            keep.append(c)
+    # recipe: step_novel -> step_dummy (one 0/1 column per sorted TRAIN
+    # level of each string feature) -> step_zv on TRAIN (no standardize for
+    # rf). keep order = dummies in feature order x sorted levels, then
+    # numerics in feature order — the engine's names order.
+    nominal = [c for c in feature_cols if pdf[c].dtype == object]
+    numeric = [c for c in feature_cols if c not in nominal]
+    levels = {
+        c: sorted(str(v) for v in tr_pdf[c].dropna().unique()) for c in nominal
+    }
+    names: list[str] = []
+    for c in nominal:
+        names.extend(f"{c}_{lv}" for lv in levels[c])
+    names.extend(numeric)
+
+    def design(frame: pd.DataFrame, use: list[str]) -> np.ndarray:
+        use_set = set(use)
+        mat = []
+        for c in nominal:
+            s = frame[c].astype(str)
+            for lv in levels[c]:
+                if f"{c}_{lv}" in use_set:
+                    mat.append((s == lv).to_numpy(np.float64))
+        for c in numeric:
+            if c in use_set:
+                mat.append(frame[c].to_numpy(np.float64))
+        return np.column_stack(mat)
+
+    full_tr = design(tr_pdf, names)
+    n_tr_rows = len(tr_pdf)
+    keep = [
+        c
+        for i, c in enumerate(names)
+        if n_tr_rows > 1
+        and float(((full_tr[:, i] - full_tr[:, i].mean()) ** 2).sum())
+        / (n_tr_rows - 1)
+        > 0.0
+    ]
 
     fmap = fold_map(
         tr_pdf[id_col].to_numpy(),
         tr_pdf[label_col].to_numpy(np.float64),
+        fold_edges,
         folds,
         cv_repeats,
         seed,
@@ -415,7 +458,7 @@ def oracle_dietml_rf(
 
     # the engine's local_cv frame: train rows sorted by id (per repeat)
     tr_sorted = tr_pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-    Xtr_all = tr_sorted[keep].to_numpy(np.float64)
+    Xtr_all = design(tr_sorted, keep)
     ytr_all = tr_sorted[label_col].to_numpy(np.float64)
     tr_ids_sorted = tr_sorted[id_col].to_numpy()
 
@@ -451,7 +494,7 @@ def oracle_dietml_rf(
         seed=seed,
     )
     te_sorted = te_pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-    Xte = te_sorted[keep].to_numpy(np.float64)
+    Xte = design(te_sorted, keep)
     yte = te_sorted[label_col].to_numpy(np.float64)
     train_m = reg_metrics(ytr_all, rf_predict_oracle(final, Xtr_all))
     final_m = reg_metrics(yte, rf_predict_oracle(final, Xte))
