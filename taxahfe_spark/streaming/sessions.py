@@ -105,6 +105,149 @@ def streaming_asof_snapshot(
     )
 
 
+def streaming_locf(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    tiebreak: str,
+    watermark: str = "1 hour",
+    suffix: str = "_filled",
+) -> DataFrame:
+    """Streaming last-observation-carried-forward via applyInPandasWithState
+    (SURVEY §2.12 / VERDICT r5 task 6): per-key ordered state under
+    continuous ingestion, EXACT batch parity under out-of-order arrival.
+
+    Batch twin: operators.windows.locf — fill = latest non-null value at or
+    before each row in (ts, tiebreak) order. A streaming carry that fills
+    rows as they arrive cannot match that contract when data arrives out of
+    order (an already-emitted null row can't be retro-filled), so this
+    operator BUFFERS rows in per-key state and emits a row only once the
+    event-time watermark passes its timestamp — at that point every
+    observation at-or-before it has either arrived or is permanently late,
+    so the fill is final. State is watermark-bounded on both sides: pending
+    rows sit above the watermark by definition, and the observation history
+    is pruned to the single latest non-null at-or-below the watermark plus
+    everything above it (older observations can never be the latest for any
+    future row). An event-time timeout flushes keys that stop receiving
+    data. Emission is append-mode and per-row — exactly once per input row.
+
+    Output: (key, tiebreak, ts, value_col as double, value_col+suffix).
+    Nulls in ``value_col`` surface as NaN (Arrow float lane).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    events = events.withColumn(ts, F.col(ts).cast("timestamp")).withWatermark(
+        ts, watermark
+    )
+    key_dt = dict(events.dtypes)[key]
+    tb_dt = dict(events.dtypes)[tiebreak]
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T._parse_datatype_string(key_dt)),
+            T.StructField(tiebreak, T._parse_datatype_string(tb_dt)),
+            T.StructField(ts, T.TimestampType()),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField(f"{value_col}{suffix}", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("hist_ts", T.ArrayType(T.LongType())),
+            T.StructField("hist_tb", T.ArrayType(T.LongType())),
+            T.StructField("hist_val", T.ArrayType(T.DoubleType())),
+            T.StructField("pend_ts", T.ArrayType(T.LongType())),
+            T.StructField("pend_tb", T.ArrayType(T.LongType())),
+            T.StructField("pend_val", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def fn(key_tuple, pdfs, state):
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            h_ts, h_tb, h_val, p_ts, p_tb, p_val = (list(x) for x in state.get)
+        else:
+            h_ts, h_tb, h_val, p_ts, p_tb, p_val = [], [], [], [], [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            p_ts.extend(
+                pdf[ts].astype("datetime64[us]").astype("int64").tolist()
+            )
+            p_tb.extend(int(x) for x in pdf[tiebreak])
+            p_val.extend(
+                float(x) if pd.notna(x) else float("nan") for x in pdf[value_col]
+            )
+        order = sorted(range(len(p_ts)), key=lambda i: (p_ts[i], p_tb[i]))
+        emit = [i for i in order if p_ts[i] < wm_us]
+        hold = [i for i in order if p_ts[i] >= wm_us]
+
+        # sequential carry over (history obs + eligible rows) in event order;
+        # history entries sort before any eligible row with the same (ts, tb)
+        # never collides (tiebreak unique), so plain merge order suffices
+        merged = sorted(
+            [(h_ts[j], h_tb[j], h_val[j], None) for j in range(len(h_ts))]
+            + [(p_ts[i], p_tb[i], p_val[i], i) for i in emit],
+            key=lambda r: (r[0], r[1]),
+        )
+        last = float("nan")
+        fills = {}
+        for tsv, tbv, val, idx in merged:
+            if not np.isnan(val):
+                last = val
+            if idx is not None:
+                fills[idx] = val if not np.isnan(val) else last
+
+        # history for future rows: non-null obs from old history + emitted
+        # rows, pruned to (latest below watermark) + (everything at/above it)
+        obs = [
+            (h_ts[j], h_tb[j], h_val[j])
+            for j in range(len(h_ts))
+        ] + [(p_ts[i], p_tb[i], p_val[i]) for i in emit if not np.isnan(p_val[i])]
+        obs.sort(key=lambda r: (r[0], r[1]))
+        below = [o for o in obs if o[0] < wm_us]
+        keep_obs = ([below[-1]] if below else []) + [o for o in obs if o[0] >= wm_us]
+
+        new_state = (
+            [o[0] for o in keep_obs],
+            [o[1] for o in keep_obs],
+            [o[2] for o in keep_obs],
+            [p_ts[i] for i in hold],
+            [p_tb[i] for i in hold],
+            [p_val[i] for i in hold],
+        )
+        if hold or keep_obs:
+            state.update(new_state)
+            if hold:
+                # flush on the next watermark advance (must be > watermark)
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        else:
+            state.remove()
+
+        if emit:
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]] * len(emit),
+                    tiebreak: [p_tb[i] for i in emit],
+                    ts: pd.Series(
+                        np.array([p_ts[i] for i in emit], dtype="datetime64[us]")
+                    ),
+                    value_col: [p_val[i] for i in emit],
+                    f"{value_col}{suffix}": [fills[i] for i in emit],
+                }
+            )
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+
+
 def streaming_windowed_counts(
     events: DataFrame,
     ts: str,

@@ -181,3 +181,71 @@ def test_partition_pruning_mechanism_days_layout(spark, tmp_path):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("day" in ln for ln in pf)
     assert got.count() == df.filter(F.col("day") == "2026-01-03").count()
+
+
+def test_streaming_locf_out_of_order_matches_batch(spark, sf_dir, tmp_path):
+    """Stateful streaming LOCF (applyInPandasWithState) == batch locf on the
+    events testdata, with micro-batches delivered OUT of event-time order
+    (middle tertile, latest tertile, earliest tertile). Rows are buffered in
+    watermark-bounded per-key state and emitted only once final, so every
+    fill matches the batch window exactly; sentinel batches advance the
+    watermark to flush the tail (finite-input harness artifact — a live
+    stream's watermark advances on its own)."""
+    import pandas as pd
+
+    from taxahfe_spark.operators.windows import locf
+    from taxahfe_spark.streaming.sessions import streaming_locf
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("v"),
+    )
+    batch = (
+        locf(ev, "user_id", "ts", ["v"], tiebreak="event_id")
+        .select("event_id", F.col("v").cast("double").alias("v"), "v_filled")
+        .toPandas()
+    )
+
+    pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+    thirds = np.array_split(pdf, 3)
+    max_ts = pdf["ts"].max()
+    sent1 = pd.DataFrame(
+        {"event_id": [10_000_001], "user_id": [int(pdf["user_id"].iloc[0])],
+         "ts": [max_ts + pd.Timedelta(days=120)], "v": [np.nan]}
+    )
+    sent2 = sent1.assign(event_id=[10_000_002], ts=[max_ts + pd.Timedelta(days=240)])
+
+    src = str(tmp_path / "locf_src")
+    spark.createDataFrame(thirds[1], ev.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = streaming_locf(
+        stream, "user_id", "ts", "v", tiebreak="event_id", watermark="60 days"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("locf_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for chunk in (thirds[2], thirds[0], sent1, sent2):
+            spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()
+        got = spark.sql("SELECT * FROM locf_out").toPandas()
+    finally:
+        q.stop()
+    got = got[got["event_id"] < 10_000_000]
+    assert len(got) == len(batch) == 1000
+    m = batch.merge(got, on="event_id", suffixes=("_b", "_s"))
+    assert len(m) == 1000
+    for col in ("v", "v_filled"):
+        b = m[f"{col}_b"].to_numpy(dtype=float)
+        s = m[f"{col}_s"].to_numpy(dtype=float)
+        assert ((b == s) | (np.isnan(b) & np.isnan(s))).all()
