@@ -162,6 +162,10 @@ def _scaling_suite(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
     wmult = int(os.environ.get("BENCH_SCALE_MULT_WINDOWS", str(8 * mult)))
     dmult = int(os.environ.get("BENCH_SCALE_MULT_DOCS", str(mult)))
     emult = int(os.environ.get("BENCH_SCALE_MULT_EMB", str(2 * mult)))
+    # token_rollup's own knob: it shares the docs frame with minhash, whose
+    # per-doc cost is ~10x higher, so amortizing the rollup leg through
+    # dmult would push minhash far past the measurement band (r6)
+    tmult = int(os.environ.get("BENCH_SCALE_MULT_TOKENS", str(dmult)))
 
     def rep(df, n, id_cols, mult=1):
         n = n * mult
@@ -239,12 +243,28 @@ def _scaling_suite(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
         ),
         "hfe_rollup_2m": lambda: hierarchical_rollup(long, clean_paths=False),
         "minhash_dedup_100k_docs": lambda: minhash_dedup(docs, threshold=0.8),
-        "token_rollup_100k_docs": lambda: token_count_rollup(
-            tokenize(docs, "text", "doc_id"),
-            build_vocab(words(docs, "text")).select(
-                "token_id",
-                F.concat_ws("|", F.substring("word", 1, 1), "word").alias("clade_path"),
-            ),
+        "token_rollup_100k_docs": lambda: (
+            lambda tdocs: token_count_rollup(
+                tokenize(tdocs, "text", "doc_id"),
+                build_vocab(words(tdocs, "text")).select(
+                    "token_id",
+                    F.concat_ws(
+                        "|", F.substring("word", 1, 1), "word"
+                    ).alias("clade_path"),
+                ),
+            )
+        )(
+            rep(
+                spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                20,
+                ["doc_id"],
+                tmult,
+            ).withColumn(
+                "text",
+                F.concat(
+                    "text", F.lit(" rep"), (F.col("doc_id") % 20).cast("string")
+                ),
+            )
         ),
         # 2000 queries x (160k x emult) corpus x dim 64 ~ 4e10 mul-adds at
         # the default emult — big enough to measure (the pre-round-5 shape

@@ -139,10 +139,10 @@ def dedup_sequences(
     (an extreme-duplication corpus where the dup universe is itself
     corpus-scale), the joins fall back to shuffles — unavoidable there,
     and the guard makes the regime switch explicit instead of OOMing the
-    driver. The source is scanned twice (counts pass + keep pass): scans
-    parallelize linearly at 100 TB, shuffles of array payloads do not —
-    that is the intended trade, and the dup-hash frame (the only thing
-    reused three times) is pinned.
+    driver. The source is scanned three times (counts pass, anti-join keep
+    pass, semi-join dup pass): scans parallelize linearly at 100 TB,
+    shuffles of array payloads do not — that is the intended trade, and the
+    dup-hash frame (the only thing reused across all three) is pinned.
     """
     keyed = df.withColumn("__h", F.xxhash64(F.col(tokens_col)))
     dup_hashes = (
