@@ -595,6 +595,142 @@ FROM kept
 """
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring removal (Lee et al. 2022-style) over the
+    tokenized-sequence shape: every token position covered by a 2-token
+    window that occurs more than once in the corpus is dropped. k=2 so the
+    synthetic docs actually contain cross-doc repeats. Returns per-doc
+    clean length / removed count / clean token-id sum (arrays themselves
+    are not hash-compared across engines)."""
+    from taxahfe_spark.tokens import substring_dedup, tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    seqs = tokenize(docs, "text", "doc_id")
+    out = substring_dedup(seqs, "tokens", "doc_id", k=2)
+    return out.select(
+        "doc_id",
+        F.col("n_tok_clean").cast("long").alias("n_tok_clean"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.aggregate(
+            "tokens_clean", F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
+        ).alias("clean_sum"),
+    )
+
+
+_SUBSTRING_DEDUP_ORACLE = """
+WITH dw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents
+),
+vocab AS (
+  SELECT word, CAST(row_number() OVER (ORDER BY word) - 1 AS BIGINT) AS token_id
+  FROM (SELECT DISTINCT unnest(words) AS word FROM dw)
+),
+ex AS (
+  SELECT doc_id, unnest(words) AS word,
+         unnest(range(1, len(words) + 1)) AS pos
+  FROM dw
+),
+toks AS (
+  SELECT e.doc_id, list(v.token_id ORDER BY e.pos) AS tokens
+  FROM ex e JOIN vocab v USING (word) GROUP BY e.doc_id
+),
+gpos AS (
+  SELECT doc_id, tokens,
+         unnest(range(1, greatest(len(tokens) - 2 + 1, 0) + 1)) AS p
+  FROM toks
+),
+g AS (SELECT doc_id, p, tokens[p:p+1] AS gram FROM gpos),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+rm AS (
+  SELECT DISTINCT g.doc_id, unnest(range(g.p, g.p + 2)) AS q
+  FROM g JOIN dup USING (gram)
+),
+tokpos AS (
+  SELECT doc_id, unnest(tokens) AS tok,
+         unnest(range(1, len(tokens) + 1)) AS q
+  FROM toks
+)
+SELECT tp.doc_id,
+       CAST(count(*) FILTER (r.q IS NULL) AS BIGINT) AS n_tok_clean,
+       CAST(count(*) FILTER (r.q IS NOT NULL) AS BIGINT) AS n_removed,
+       CAST(coalesce(sum(tp.tok) FILTER (r.q IS NULL), 0) AS BIGINT) AS clean_sum
+FROM tokpos tp
+LEFT JOIN rm r ON r.doc_id = tp.doc_id AND r.q = tp.q
+GROUP BY 1
+"""
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (mean token log-prob, frequencies fit on
+    the corpus itself) over the tokenized-sequence shape — the cheap
+    perplexity proxy from the web-corpus filtering literature."""
+    from taxahfe_spark.tokens import tokenize, unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    seqs = tokenize(docs, "text", "doc_id")
+    out = unigram_logprob(seqs, "tokens", "doc_id")
+    return out.select("doc_id", F.col("n_tok").cast("long").alias("n_tok"), "mean_logp")
+
+
+_UNIGRAM_LOGPROB_ORACLE = """
+WITH dw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents
+),
+tokflat AS (SELECT doc_id, unnest(words) AS word FROM dw),
+freq AS (SELECT word, count(*) AS c FROM tokflat GROUP BY 1),
+total AS (SELECT sum(c) AS t FROM freq)
+SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       round(avg(ln(CAST(fr.c AS DOUBLE) / (SELECT t FROM total))), 6) AS mean_logp
+FROM tokflat f JOIN freq fr USING (word)
+GROUP BY 1
+"""
+
+
+def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText intra-document repetition filters (dup-word
+    fraction, dup-2-gram fraction, top-2-gram share) over the documents
+    table."""
+    from taxahfe_spark.operators.textstats import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text", "doc_id", n=2)
+
+
+_REPETITION_ORACLE = """
+WITH dw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents
+),
+w AS (SELECT doc_id, words FROM dw WHERE len(words) > 0),
+g AS (
+  SELECT doc_id,
+         unnest([array_to_string(words[i:i+1], ' ')
+                 for i in range(1, greatest(len(words) - 1, 1) + 1)]) AS ng
+  FROM w
+),
+pg AS (SELECT doc_id, ng, count(*) AS c FROM g GROUP BY 1, 2),
+ga AS (
+  SELECT doc_id, sum(c) AS n2, count(*) AS ndist, max(c) AS top
+  FROM pg GROUP BY 1
+),
+uni AS (
+  SELECT doc_id, count(DISTINCT word) AS wdist
+  FROM (SELECT doc_id, unnest(words) AS word FROM w) GROUP BY 1
+),
+nw AS (SELECT doc_id, len(words) AS n_words FROM w)
+SELECT nw.doc_id, CAST(nw.n_words AS BIGINT) AS n_words,
+       round(1 - CAST(u.wdist AS DOUBLE) / nw.n_words, 6) AS dup_word_frac,
+       round(1 - CAST(ga.ndist AS DOUBLE) / ga.n2, 6) AS dup_ngram_frac,
+       round(CAST(ga.top AS DOUBLE) / ga.n2, 6) AS top_ngram_share
+FROM nw JOIN ga USING (doc_id) JOIN uni u USING (doc_id)
+"""
+
+
 def q_contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination over the documents table: docs with
     doc_id < 20 play the eval benchmark, the rest are the training side
@@ -1438,6 +1574,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "contamination_docs": q_contamination_docs,
         "dedup_sequences_docs": q_dedup_sequences,
+        "substring_dedup_docs": q_substring_dedup,
+        "unigram_logprob_docs": q_unigram_logprob,
+        "repetition_docs": q_repetition_docs,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "cosine_allpairs_embeddings": q_cosine_allpairs_embeddings,
@@ -1685,6 +1824,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_docs": _NGRAM_JACCARD_ORACLE,
         "contamination_docs": _CONTAMINATION_ORACLE,
         "dedup_sequences_docs": _DEDUP_SEQ_ORACLE,
+        "substring_dedup_docs": _SUBSTRING_DEDUP_ORACLE,
+        "unigram_logprob_docs": _UNIGRAM_LOGPROB_ORACLE,
+        "repetition_docs": _REPETITION_ORACLE,
         "cosine_topk_embeddings": _COSINE_ORACLE,
         # exhaustive-probe IVF == brute force by construction, same oracle
         "ivf_topk_embeddings": _COSINE_ORACLE,

@@ -409,14 +409,17 @@ def _steal_jiffies() -> int:
 STREAM_P2_HEALTHY_FLOOR = 0.30
 
 
-def _probe_rates() -> dict:
-    """Same-session ALU + STREAM probe rates (units/s at 2 and 8 procs) —
-    the box-normalization stamp for every recorded wall-clock claim. A
-    reader on a different (or differently-loaded) box divides their own
-    probe rates by these to adjudicate absolute numbers mechanically
-    (VERDICT r4: judge replicas ran 1.55x the builder's on identical work
-    purely from box state). Also stamps the vCPU steal accumulated while
-    the probes ran and a box_degraded verdict."""
+def _probe_rates(proc_counts: tuple[int, ...] = (2, 8)) -> dict:
+    """Same-session ALU + STREAM probe rates (units/s at ``proc_counts``
+    procs) — the box-normalization stamp for every recorded wall-clock
+    claim. A reader on a different (or differently-loaded) box divides
+    their own probe rates by these to adjudicate absolute numbers
+    mechanically (VERDICT r4: judge replicas ran 1.55x the builder's on
+    identical work purely from box state). Also stamps the vCPU steal
+    accumulated while the probes ran and a box_degraded verdict. Scaling
+    runs pass (2, 8, 32) so the artifact carries the SAME-SESSION probe
+    eta for whatever leg pair it measures — the bytes/op interpolation
+    band a per-query eta is judged against."""
     import multiprocessing as mp
     import time as _t
 
@@ -428,7 +431,7 @@ def _probe_rates() -> dict:
     rates: dict = {}
     for kind, work in (("alu", _alu), ("stream", _stream)):
         rates[kind] = {}
-        for procs in (2, 8):
+        for procs in proc_counts:
             with mp.Pool(procs) as p:
                 t0 = _t.time()
                 p.map(work, range(procs * 2))
@@ -495,8 +498,9 @@ def main() -> None:
         hi_n = int(os.environ.get("SCALE_HI", "32"))
         # same-session probe rates FIRST: the eta criterion is box-relative
         # (today's ALU eta(2->8) may be 0.65 where last week's was 0.78), so
-        # every scaling artifact carries the rates needed to normalize it
-        probes = _probe_rates()
+        # every scaling artifact carries the rates needed to normalize it —
+        # including p32, so eta(8->32) claims have an in-artifact probe band
+        probes = _probe_rates(proc_counts=(2, 8, 32))
 
         # Alternate the legs (lo,hi,lo,hi,...) and take the per-query best
         # per leg: a round-5 degraded-host episode showed the box can drift
@@ -526,6 +530,17 @@ def main() -> None:
         lo, hi = legs[lo_n], legs[hi_n]
         factor = hi_n / lo_n
         eta = round(hi["rows_per_sec"] / (factor * lo["rows_per_sec"]), 3)
+        # the probe eta for the SAME leg pair: the [stream, alu] band a
+        # per-query eta should land in according to its bytes/op (the
+        # mechanical form of the "physics vs engineering gap" adjudication)
+        probe_eta = {
+            kind: round(
+                probes[kind][f"p{hi_n}"] / (factor * probes[kind][f"p{lo_n}"]), 3
+            )
+            for kind in ("alu", "stream")
+            if f"p{lo_n}" in probes.get(kind, {})
+            and f"p{hi_n}" in probes.get(kind, {})
+        }
         per_query_eta = {
             k: round(lo["queries"][k] / (factor * hi["queries"][k]), 3)
             for k in lo["queries"]
@@ -538,6 +553,12 @@ def main() -> None:
                     "value": eta,
                     "unit": "efficiency",
                     "per_query_eta": per_query_eta,
+                    "probe_eta_same_legs": probe_eta,
+                    "scale_mult_env": {
+                        k: v
+                        for k, v in sorted(os.environ.items())
+                        if k.startswith("BENCH_SCALE_MULT")
+                    },
                     "probes_units_per_sec": probes,
                     "scale_rounds": rounds,
                     "steal_s_per_leg": steal,

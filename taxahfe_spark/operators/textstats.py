@@ -195,3 +195,70 @@ def doc_fingerprint(
         id_col,
         F.slice(F.array_sort(F.array_distinct(grams)), 1, n_mins).alias("fingerprint"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Per-document intra-repetition signals — the Gopher/MassiveText
+    repetition filters (Rae et al. 2021 §A1.1) re-expressed over word
+    n-grams: (id, n_words, dup_word_frac, dup_ngram_frac, top_ngram_share).
+
+    dup_word_frac   = 1 - distinct_words / n_words (repeated-token mass)
+    dup_ngram_frac  = 1 - distinct_ngrams / n_ngrams (boilerplate loops)
+    top_ngram_share = occurrences of the most frequent n-gram / n_ngrams
+    (Gopher cuts docs with top-2-gram share > 0.20, dup-word > 0.30.)
+
+    All fractions round(6) so value hashes are engine-stable. Docs with
+    zero words are dropped (no signal to filter on); docs with fewer than
+    n words have one degenerate "gram" (the whole word sequence) so the
+    fractions stay defined — same convention as _word_ngrams' short-text
+    branch, mirrored in the oracle.
+
+    Scale shape: ONE explode to the n-gram stream carrying (id, 8-byte
+    xxhash64 gram key) — never gram strings — then a two-level map-side-
+    combined aggregation (count per (id, gram), then max/sum/count per id)
+    plus a words-level aggregate computed WITHOUT a second scan of the
+    corpus: n_words and distinct-word counts ride the same exploded frame
+    keyed by the unigram hash. Whole-stage codegen end to end; no Python.
+    """
+    dw = words(df, text_col).filter(F.size("words") > 0)
+    grams = dw.select(
+        id_col,
+        F.size("words").alias("__nw"),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("words") - n + 1, F.lit(1))
+                ),
+                lambda i: F.xxhash64(F.array_join(F.slice("words", i, n), " ")),
+            )
+        ).alias("__g"),
+    )
+    per_gram = grams.groupBy(id_col, "__nw", "__g").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    gram_agg = per_gram.groupBy(id_col, "__nw").agg(
+        F.sum("__c").alias("__ng"),
+        F.count(F.lit(1)).alias("__ndist"),
+        F.max("__c").alias("__top"),
+    )
+    uni = (
+        dw.select(id_col, F.explode("words").alias("__w"))
+        .groupBy(id_col)
+        .agg(F.count_distinct("__w").alias("__wdist"))
+    )
+    return (
+        gram_agg.join(uni, id_col)
+        .select(
+            id_col,
+            F.col("__nw").cast("long").alias("n_words"),
+            F.round(1 - F.col("__wdist") / F.col("__nw"), 6).alias(
+                "dup_word_frac"
+            ),
+            F.round(1 - F.col("__ndist") / F.col("__ng"), 6).alias(
+                "dup_ngram_frac"
+            ),
+            F.round(F.col("__top") / F.col("__ng"), 6).alias("top_ngram_share"),
+        )
+    )

@@ -172,6 +172,166 @@ def assert_n_tok_invariant(seqs: DataFrame) -> None:
         raise AssertionError(f"n_tok invariant violated on {bad} rows")
 
 
+def substring_dedup(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 8,
+    dup_broadcast_max: int = 5_000_000,
+) -> DataFrame:
+    """Duplicated-substring removal over pre-tokenized sequences: drop every
+    token position covered by a length-``k`` token window that occurs MORE
+    THAN ONCE anywhere in the corpus (cross-doc or repeated within one doc).
+    The distributed analog of suffix-array exact-substring training-data
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better") for a Spark pipeline: instead of one global suffix
+    array, every doc emits its k-gram WINDOW HASHES and globally repeated
+    windows mark their spans for removal. Returns
+    (id_col, tokens_clean array, n_tok_clean int, n_removed int).
+
+    Semantics pinned for the oracle: a window starting at 0-based position
+    p covers [p, p+k); a position covered by ANY repeated window is
+    removed; docs shorter than k tokens have no windows and pass through
+    unchanged. Repeated means total corpus occurrence count > 1, which
+    includes a doc that repeats its own phrase — self-plagiarized spans are
+    exactly what the reference paper removes too.
+
+    Scale shape (10^12 sequences): the exchanged gram stream is
+    (id, pos, xxhash64) — 8-byte hashes, never token arrays — and the
+    groupBy count is map-side combined. The repeated-hash set is
+    duplication-sized; under ``dup_broadcast_max`` rows it broadcasts and
+    the per-doc hit probe is shuffle-free, above it the semi join falls
+    back to a hash-key shuffle (still array-free). Arrays move exactly
+    once: through the final Arrow mask stage, which is the output writer.
+    Collision honesty: a 64-bit collision can mark a span as spuriously
+    repeated (removing ~k good tokens); at 10^12 windows that is ~1e5
+    spurious spans corpus-wide — noise for a cleaning pipeline, and the
+    trade the hash-grouped plan makes for never shuffling arrays (the
+    collision-exact alternative re-verifies slices inside repeated-hash
+    groups like dedup_sequences phase 2; per-window that re-shuffles k
+    tokens per hit, pointless at this error rate).
+    """
+    n = F.size(tokens_col)
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.when(
+                n >= k,
+                F.sequence(F.lit(0), n - k),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__p"),
+        F.col(tokens_col),
+    ).select(
+        "__id", "__p", F.xxhash64(F.slice(tokens_col, F.col("__p") + 1, k)).alias("__gh")
+    )
+    dup_hashes = (
+        grams.groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("__gh")
+        .persist()
+    )
+    small = dup_hashes.count() <= dup_broadcast_max
+    right = F.broadcast(dup_hashes) if small else dup_hashes
+    starts = (
+        grams.join(right, "__gh", "left_semi")
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_set("__p")).alias("__starts"))
+    )
+    joined = df.select(F.col(id_col).alias("__id"), tokens_col).join(
+        starts, "__id", "left"
+    )
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, joined.schema["__id"].dataType),
+            T.StructField("tokens_clean", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok_clean", T.IntegerType()),
+            T.StructField("n_removed", T.IntegerType()),
+        ]
+    )
+
+    def _mask(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, cleans, n_cleans, n_rm = [], [], [], []
+            for _id, toks, st in zip(
+                pdf["__id"], pdf[tokens_col], pdf["__starts"]
+            ):
+                toks = np.asarray(toks, dtype=np.int64)
+                if st is None or len(st) == 0:
+                    clean = toks
+                else:
+                    st = np.asarray(st, dtype=np.int64)
+                    # O(n + m) coverage via start/stop deltas + cumsum —
+                    # never the O(n*m) array_contains probe a pure-built-in
+                    # plan would pay on heavily duplicated docs
+                    delta = np.zeros(len(toks) + 1, dtype=np.int64)
+                    np.add.at(delta, st, 1)
+                    np.add.at(delta, np.minimum(st + k, len(toks)), -1)
+                    covered = np.cumsum(delta[: len(toks)]) > 0
+                    clean = toks[~covered]
+                ids.append(_id)
+                cleans.append(clean.astype(np.int32))
+                n_cleans.append(len(clean))
+                n_rm.append(len(toks) - len(clean))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "tokens_clean": cleans,
+                    "n_tok_clean": pd.array(n_cleans, dtype="int32"),
+                    "n_removed": pd.array(n_rm, dtype="int32"),
+                }
+            )
+
+    return joined.mapInPandas(_mask, schema=out_schema)
+
+
+def unigram_logprob(
+    seqs: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    vocab_broadcast_max: int = 5_000_000,
+) -> DataFrame:
+    """Unigram-LM document scoring over pre-tokenized sequences: fit token
+    frequencies on the corpus itself, then score each doc by its mean token
+    log-probability — the classic cheap perplexity proxy for quality
+    filtering (low mean_logp = rare-token soup, boilerplate-free natural
+    text sits in a predictable band). Returns
+    (id_col, n_tok long, mean_logp double).
+
+    Plan shape: one explode + map-side-combined count for the frequency
+    table (vocab-sized output), then the per-token logp lookup joins
+    TOKEN IDS ONLY (8-byte rows, never arrays) against the broadcast
+    frequency table, and one groupBy re-aggregates per doc. Vocabularies
+    are bounded by the tokenizer (10^5-10^6 ids) so the broadcast regime is
+    the normal one; above ``vocab_broadcast_max`` distinct ids the join
+    falls back to a shuffle on token_id. Empty docs emit no token rows and
+    are absent from the output — mirroring the contamination_score
+    convention that zero-content docs produce no score row.
+    """
+    tok = seqs.select(F.col(id_col).alias("__id"), F.explode(tokens_col).alias("__t"))
+    freq = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__c")).persist()
+    total = freq.agg(F.sum("__c")).collect()[0][0] or 0
+    small = freq.count() <= vocab_broadcast_max
+    right = F.broadcast(freq) if small else freq
+    scored = tok.join(right, "__t", "inner").withColumn(
+        "__logp", F.log(F.col("__c") / F.lit(float(total)))
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(F.avg("__logp"), 6).alias("mean_logp"),
+        )
+        .select(F.col("__id").alias(id_col), "n_tok", "mean_logp")
+    )
+
+
 def token_count_rollup(
     seqs: DataFrame,
     taxonomy: DataFrame,
