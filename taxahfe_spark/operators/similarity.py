@@ -49,6 +49,79 @@ def cosine_similarity_col(a, b) -> F.Column:
     return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
 
 
+def _local_topk(Qb, q_ids_b, qnb, C, ids, cn, k, exclude_self):
+    """Vectorized local top-k cosine for one corpus batch: returns
+    (query_id, match_id, cosine) arrays holding each query's exact top-k
+    under (round(cosine, 8) desc, id asc) within this batch.
+
+    Shape decisions (each replaced a measured bottleneck on a 12.8M x 2000
+    scaling leg):
+    - query-major matmul (S = Q @ C.T): the top-k partition runs along
+      contiguous rows; corpus-major needed a 160 MB transpose per batch.
+    - QUERY-AXIS BLOCKING: each (block x n) score slab is sized to ~4 MB so
+      the divide / round / mask / argpartition passes hit cache instead of
+      DRAM. Unblocked, those ~12 elementwise passes moved ~2 GB per 10k-row
+      batch and the whole operator ran at STREAM speed (the box probe's
+      worst curve); blocked, DRAM sees the matmul write + one read and the
+      operator tracks the ALU curve — which is also why it scales with
+      cores on a real cluster.
+    - selection by ONE argpartition per slab on a composite key instead of
+      a per-query lexsort loop (the loop: 924 s; the matmul: seconds).
+      Exactness: cosine is quantized to 1e-8 by the round, the id-rank
+      perturbation is < 1e-8/2, so distinct cosines keep their order and
+      ties break toward the smaller id. round is the bit-exact
+      scale/rint/unscale form of np.round (measured ~30x cheaper; divide,
+      NOT multiply-by-1e-8, for bit equality).
+    The k selected entries per query are NOT locally sorted — the global
+    rank window orders the (partitions x k) survivors downstream.
+    """
+    import pandas as pd  # noqa: F401  (callers build frames from the arrays)
+
+    n = len(ids)
+    nq = Qb.shape[0]
+    if n == 0 or nq == 0:
+        empty = np.array([], dtype=np.int64)
+        return empty, empty, np.array([], dtype=np.float64)
+    id_rank = np.empty(n, dtype=np.float64)
+    id_rank[np.argsort(ids, kind="stable")] = np.arange(n)
+    pert = id_rank * (1e-8 / (2.0 * n))
+    zero_c = cn <= 0
+    kk = min(k, n)
+    bs = max(16, 4_000_000 // (8 * n))
+    out_q, out_m, out_c = [], [], []
+    for j0 in range(0, nq, bs):
+        j1 = min(j0 + bs, nq)
+        S = Qb[j0:j1] @ C.T  # (block, n), C-contiguous, cache-resident
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S /= cn[None, :]
+            S /= qnb[j0:j1, None]
+            np.multiply(S, 1e8, out=S)
+            np.rint(S, out=S)
+            np.divide(S, 1e8, out=S)
+        if zero_c.any():
+            S[:, zero_c] = np.nan
+        qz = qnb[j0:j1] <= 0
+        if qz.any():
+            S[qz, :] = np.nan
+        valid = ~np.isnan(S)
+        if exclude_self:
+            valid &= q_ids_b[j0:j1][:, None] != ids[None, :]
+        K = np.where(valid, S, -np.inf)
+        K -= pert[None, :]
+        sel = np.argpartition(K, n - kk, axis=1)[:, n - kk :]
+        cols = sel.ravel()
+        bidx = np.repeat(np.arange(j1 - j0), kk)
+        keep = valid[bidx, cols]
+        out_q.append(q_ids_b[j0 + bidx[keep]])
+        out_m.append(ids[cols[keep]])
+        out_c.append(S[bidx[keep], cols[keep]])
+    return (
+        np.concatenate(out_q),
+        np.concatenate(out_m),
+        np.concatenate(out_c),
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -121,26 +194,11 @@ def cosine_topk(
             C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             ids = pdf[id_col].to_numpy()
             cn = np.sqrt((C * C).sum(axis=1))
-            denom = cn[:, None] * qnb[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                S = np.round((C @ Qb.T) / np.where(denom > 0, denom, np.nan), 8)
-            qcols, mrows, cos = [], [], []
-            for j in range(Qb.shape[0]):
-                col = S[:, j]
-                mask = ~np.isnan(col)
-                if exclude_self:
-                    mask &= ids != q_ids_b[j]
-                cand = np.flatnonzero(mask)
-                if cand.size == 0:
-                    continue
-                # local top-k under (cosine desc, id asc) — the global
-                # ordering; anything below can never reach the global top-k
-                order = cand[np.lexsort((ids[cand], -col[cand]))][:k]
-                qcols.extend([q_ids_b[j]] * len(order))
-                mrows.extend(ids[order])
-                cos.extend(col[order])
+            q_arr, m_arr, c_arr = _local_topk(
+                Qb, q_ids_b, qnb, C, ids, cn, k, exclude_self
+            )
             yield pd.DataFrame(
-                {"query_id": qcols, "match_id": mrows, "cosine": cos}
+                {"query_id": q_arr, "match_id": m_arr, "cosine": c_arr}
             )
 
     scored = corpus.select(id_col, vec_col).mapInPandas(score, schema)
@@ -381,36 +439,31 @@ def ivf_topk(
             with np.errstate(divide="ignore", invalid="ignore"):
                 Cu = C / np.where(cn > 0, cn, np.nan)[:, None]
             assign = np.argmax(np.nan_to_num(Cu @ Cb.T, nan=-np.inf), axis=1)
-            qcols, mrows, cos = [], [], []
+            frames = []
             for c in np.unique(assign):
                 q_rows = probed.get(int(c))
                 if q_rows is None or q_rows.size == 0:
                     continue
                 rows = np.flatnonzero(assign == c)
-                denom = cn[rows][:, None] * qnb[q_rows][None, :]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    S = np.round(
-                        (C[rows] @ Qb[q_rows].T)
-                        / np.where(denom > 0, denom, np.nan),
-                        8,
+                # same blocked query-major local top-k as cosine_topk
+                # (_local_topk), per (inverted-list group, batch)
+                q_arr, m_arr, c_arr = _local_topk(
+                    Qb[q_rows],
+                    q_ids_b[q_rows],
+                    qnb[q_rows],
+                    C[rows],
+                    ids[rows],
+                    cn[rows],
+                    k,
+                    exclude_self,
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": q_arr, "match_id": m_arr, "cosine": c_arr}
                     )
-                for jj, qi in enumerate(q_rows):
-                    col = S[:, jj]
-                    mask = ~np.isnan(col)
-                    if exclude_self:
-                        mask &= ids[rows] != q_ids_b[qi]
-                    cand = np.flatnonzero(mask)
-                    if cand.size == 0:
-                        continue
-                    sub = rows[cand]
-                    order = cand[np.lexsort((ids[sub], -col[cand]))][:k]
-                    take = rows[order]
-                    qcols.extend([q_ids_b[qi]] * len(order))
-                    mrows.extend(ids[take])
-                    cos.extend(col[order])
-            yield pd.DataFrame(
-                {"query_id": qcols, "match_id": mrows, "cosine": cos}
-            )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     scored = corpus.select(id_col, vec_col).mapInPandas(score, schema)
     w = Window.partitionBy("query_id").orderBy(
