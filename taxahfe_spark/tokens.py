@@ -210,6 +210,14 @@ def substring_dedup(
     collision-exact alternative re-verifies slices inside repeated-hash
     groups like dedup_sequences phase 2; per-window that re-shuffles k
     tokens per hit, pointless at this error rate).
+
+    The one place arrays CAN shuffle is the final doc-level join of token
+    arrays against their per-doc start lists: when the dup-affected doc set
+    is small, AQE converts it to a broadcast join at runtime (starts is an
+    aggregated frame whose size is only known post-shuffle — exactly the
+    case adaptive planning exists for); in a heavy-duplication corpus the
+    co-locating shuffle is the honest cost, the same single array sort the
+    suffix-array formulation pays.
     """
     n = F.size(tokens_col)
     grams = df.select(

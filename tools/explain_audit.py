@@ -198,6 +198,43 @@ def main() -> None:
         f"payload-carrying exchanges: {txt_ex}",
     )
 
+    # 11. round-6 token-shape quality operators: the corpus-sized exchanged
+    #     streams carry 8-byte keys/positions, never token arrays or text
+    from taxahfe_spark.operators.textstats import repetition_stats
+    from taxahfe_spark.tokens import substring_dedup, unigram_logprob
+
+    p = plan(substring_dedup(seqs, k=3))
+    ex_keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+    tok_ex = [k for k in ex_keys if "tokens#" in k]
+    check(
+        "substring_dedup: token arrays never keyed into an exchange",
+        len(tok_ex) == 0,
+        f"payload-keyed exchanges: {tok_ex}",
+    )
+    check(
+        "substring_dedup: dup-hash probe is a broadcast semi join",
+        "BroadcastHashJoin" in p and "LeftSemi" in p,
+    )
+    p = plan(unigram_logprob(seqs))
+    check(
+        "unigram_logprob: frequency lookup is a broadcast join, no Python",
+        "BroadcastHashJoin" in p
+        and "mapInPandas" not in p
+        and "BatchEvalPython" not in p,
+    )
+    p = plan(repetition_stats(docs))
+    check(
+        "repetition_stats: pure JVM (no Python eval) and no text in "
+        "exchange keys",
+        "BatchEvalPython" not in p
+        and "mapInPandas" not in p
+        and not [
+            k
+            for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+            if "text#" in k
+        ],
+    )
+
     spark.stop()
     if failures:
         print(f"\n{len(failures)} plan properties FAILED: {failures}")
