@@ -1,0 +1,94 @@
+"""Watchdog for the round-6 scaling artifacts: probe box health, and the
+moment the STREAM probe clears the healthy floor, run the amortized 8->32
+and 2->8 scaling suites back to back, writing probe-stamped artifacts.
+
+Exists because this VM's host contention comes and goes in multi-hour
+episodes (VERDICT r5 adjudicated a whole round's bench record as
+degraded-box data); polling for a quiet window beats recording garbage.
+
+Usage: python tools/run_scaling_when_healthy.py [max_hours]
+Writes bench_results/scaling_r6_{8_32,2_8}_a.json + .log on success;
+records a final degraded-box attempt anyway (clearly suffixed) if no
+healthy window appears within max_hours.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+MULTS = {
+    "BENCH_SCALE_MULT_EMB": "32",
+    "BENCH_SCALE_MULT_TOKENS": "8",
+    "BENCH_SCALE_MULT_ROLLUP": "32",
+    "BENCH_SCALE_MULT_COLLAPSE": "4",
+}
+
+
+def probe() -> dict:
+    import bench
+
+    return bench._probe_rates()
+
+
+def run_suite(lo: int, hi: int, out_name: str) -> None:
+    env = dict(os.environ)
+    env.update(MULTS)
+    env.update(
+        {
+            "SCALE_LO": str(lo),
+            "SCALE_HI": str(hi),
+            "SCALE_ROUNDS": "2",
+            "BENCH_REPS": "1",
+        }
+    )
+    out_json = os.path.join(REPO, "bench_results", out_name + ".json")
+    out_log = os.path.join(REPO, "bench_results", out_name + ".log")
+    with open(out_log, "w") as log:
+        r = subprocess.run(
+            [sys.executable, "bench.py", "--scaling"],
+            cwd=REPO,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=log,
+            text=True,
+        )
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    if r.returncode != 0 or not line:
+        raise RuntimeError(f"scaling run {out_name} failed rc={r.returncode}")
+    with open(out_json, "w") as f:
+        f.write(line[-1] + "\n")
+    print(f"wrote {out_json}", flush=True)
+
+
+def main() -> None:
+    max_hours = float(sys.argv[1]) if len(sys.argv) > 1 else 3.0
+    deadline = time.time() + max_hours * 3600
+    attempt = 0
+    while True:
+        attempt += 1
+        p = probe()
+        print(f"probe attempt {attempt}: {p}", flush=True)
+        if not p["box_degraded"]:
+            run_suite(8, 32, "scaling_r6_8_32_a")
+            run_suite(2, 8, "scaling_r6_2_8_a")
+            print("healthy-box artifacts recorded", flush=True)
+            return
+        if time.time() > deadline:
+            # no healthy window: record anyway, clearly labeled — the
+            # artifact self-stamps box_degraded so it cannot be mistaken
+            # for a clean claim
+            run_suite(8, 32, "scaling_r6_8_32_degraded")
+            print("deadline hit: recorded degraded-box artifact", flush=True)
+            return
+        time.sleep(600)
+
+
+if __name__ == "__main__":
+    main()
