@@ -243,16 +243,21 @@ def _scaling_suite(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
         ),
         "hfe_rollup_2m": lambda: hierarchical_rollup(long, clean_paths=False),
         "minhash_dedup_100k_docs": lambda: minhash_dedup(docs, threshold=0.8),
+        # ONE vocab build feeding both tokenize and the taxonomy — the shape
+        # q_token_rollup_docs uses; the pre-round-6 leg built the vocab
+        # twice (two full distinct-words shuffles + two persists per rep)
         "token_rollup_100k_docs": lambda: (
-            lambda tdocs: token_count_rollup(
-                tokenize(tdocs, "text", "doc_id"),
-                build_vocab(words(tdocs, "text")).select(
-                    "token_id",
-                    F.concat_ws(
-                        "|", F.substring("word", 1, 1), "word"
-                    ).alias("clade_path"),
-                ),
-            )
+            lambda tdocs: (
+                lambda vocab: token_count_rollup(
+                    tokenize(tdocs, "text", "doc_id", vocab=vocab),
+                    vocab.select(
+                        "token_id",
+                        F.concat_ws(
+                            "|", F.substring("word", 1, 1), "word"
+                        ).alias("clade_path"),
+                    ),
+                )
+            )(build_vocab(words(tdocs, "text")))
         )(
             rep(
                 spark.read.parquet(f"{sf_dir}/documents.parquet"),
