@@ -457,6 +457,49 @@ FROM st
 """
 
 
+def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (GPT-3/CCNet idiom): frozen logistic
+    coefficients inlined as literals over text_stats features — the whole
+    scoring chain (feature extraction + sigmoid) recomputed by DuckDB from
+    raw text. Training (pyspark.ml LBFGS) is gated in pytest against an
+    independent numpy IRLS MLE (tests/test_quality_model.py)."""
+    from taxahfe_spark.functions.quality_model import score_quality
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = score_quality(docs)
+    return out.select("doc_id", F.round("model_quality", 6).alias("model_quality"))
+
+
+_QUALITY_MODEL_ORACLE = f"""
+WITH dw AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents
+),
+st AS (
+  SELECT doc_id,
+         ln(1.0 + len(words)) AS log1p_n_words,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS alpha_ratio,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS digit_ratio,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS upper_ratio,
+         CAST(len(list_intersect(words, {_EN_LIST})) AS DOUBLE) / 16.0 AS stopword_coverage,
+         CAST(len(list_distinct(words)) AS DOUBLE) / greatest(len(words), 1) AS unique_word_ratio
+  FROM dw
+),
+z AS (
+  SELECT doc_id,
+         -1.5 + 2.0 * alpha_ratio - 3.0 * digit_ratio - 1.0 * upper_ratio
+         + 2.5 * stopword_coverage + 1.0 * unique_word_ratio
+         + 0.25 * log1p_n_words AS zz
+  FROM st
+)
+SELECT doc_id, round(1.0 / (1.0 + exp(-zz)), 6) AS model_quality FROM z
+"""
+
+
 def q_language_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxahfe_spark.operators.textstats import language_id
 
@@ -855,6 +898,43 @@ WHERE rn <= ceil(n * (CASE source WHEN 'src0' THEN 0.25
 """
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mix (tau=0.5, mass = chars): the XLM-R source-
+    sampling rule. The oracle re-derives the per-source rates from the
+    corpus masses in SQL (power/normalize/budget) and replays the
+    md5-ranked keep set, so the whole chain is value-gated."""
+    from taxahfe_spark.tokens import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_mix(docs, tau=0.5, weight_col="n_chars", seed=11)
+    return out.select("doc_id", "source")
+
+
+_TEMPERATURE_MIX_ORACLE = """
+WITH mass AS (
+  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS m FROM documents GROUP BY source
+),
+tot AS (SELECT sum(m) AS t FROM mass),
+pw AS (SELECT source, m, pow(m / t, 0.5) AS pp FROM mass, tot),
+z AS (SELECT sum(pp) AS z FROM pw),
+pr AS (SELECT source, m, pp / z AS p FROM pw, z),
+budget AS (SELECT min(m / p) AS b FROM pr),
+rates AS (
+  SELECT source, round(least(1.0, p * b / m), 12) AS rate FROM pr, budget
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':11'), doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT r.doc_id, r.source
+FROM ranked r JOIN rates s USING (source)
+WHERE r.rn <= ceil(r.n * s.rate)
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (chunked cumulative bins per source)."""
     from taxahfe_spark.tokens import pack_sequences, tokenize
@@ -904,6 +984,54 @@ def q_cosine_allpairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = cosine_allpairs(emb, threshold=0.4)
     return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end embedding-cosine near-dup: exact pairs at cosine >= 0.4 ->
+    connected components (pointer-shortcut min-label) -> min-id canonical
+    keeper per component, one output row per input vector. The oracle
+    replays the whole chain in SQL: brute-force pair generation plus a
+    recursive-CTE transitive closure for the component labels, so the
+    component machinery (not just pair scoring) is value-gated. The LSH
+    candidate path (method="lsh") is recall-pinned in pytest."""
+    from taxahfe_spark.operators.similarity import embedding_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_dedup(emb, threshold=0.4, method="exact")
+    return out.select(
+        "vec_id",
+        F.col("rep_id").cast("long").alias("rep_id"),
+        "keep",
+    )
+
+
+_EMBEDDING_DEDUP_ORACLE = """
+WITH RECURSIVE
+v AS (SELECT vec_id, embedding FROM embeddings),
+d AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM v x JOIN v y ON x.vec_id < y.vec_id
+  WHERE round(
+           list_aggregate(list_transform(list_zip(x.embedding, y.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+           / nullif(
+               sqrt(list_aggregate(list_transform(x.embedding,
+                   e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), 'sum'))
+             * sqrt(list_aggregate(list_transform(y.embedding,
+                   e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), 'sum')), 0),
+           8) >= 0.4
+),
+e AS (SELECT a AS u, b AS w FROM d UNION ALL SELECT b, a FROM d),
+reach(node, lab) AS (
+  SELECT vec_id, vec_id FROM v
+  UNION
+  SELECT e.w, reach.lab FROM reach JOIN e ON e.u = reach.node
+)
+SELECT node AS vec_id,
+       min(lab) AS rep_id,
+       CAST(node = min(lab) AS BOOLEAN) AS keep
+FROM reach GROUP BY node
+"""
 
 
 _COSINE_ALLPAIRS_ORACLE = """
@@ -1569,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_token_features": q_pit_token_features,
         "exact_dedup_docs": q_exact_dedup_docs,
         "text_quality_docs": q_text_quality_docs,
+        "quality_model_score_docs": q_quality_model_score,
         "language_id_docs": q_language_id_docs,
         "token_counts_docs": q_token_counts_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
@@ -1580,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "cosine_allpairs_embeddings": q_cosine_allpairs_embeddings,
+        "embedding_dedup_vectors": q_embedding_dedup,
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_docs": q_simhash_docs,
         "hfe_collapse": q_hfe_collapse,
@@ -1589,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_auc_midrank": q_ml_auc_midrank,
         "ml_linreg_metrics": q_ml_linreg_metrics,
         "sample_by_source": q_sample_by_source,
+        "temperature_mix_docs": q_temperature_mix,
         "pack_sequences": q_pack_sequences,
     }
 
@@ -1819,6 +1950,7 @@ def oracle_sql() -> dict[str, str]:
         "pit_token_features": _PIT_ORACLE,
         "exact_dedup_docs": _EXACT_DEDUP_ORACLE,
         "text_quality_docs": _TEXT_QUALITY_ORACLE,
+        "quality_model_score_docs": _QUALITY_MODEL_ORACLE,
         "language_id_docs": _lang_oracle(),
         "token_counts_docs": _TOKEN_COUNTS_ORACLE,
         "ngram_jaccard_docs": _NGRAM_JACCARD_ORACLE,
@@ -1831,6 +1963,7 @@ def oracle_sql() -> dict[str, str]:
         # exhaustive-probe IVF == brute force by construction, same oracle
         "ivf_topk_embeddings": _COSINE_ORACLE,
         "cosine_allpairs_embeddings": _COSINE_ALLPAIRS_ORACLE,
+        "embedding_dedup_vectors": _EMBEDDING_DEDUP_ORACLE,
         "simhash_docs": _simhash_oracle(),
         "hfe_corr_collapse": _HFE_CORR_COLLAPSE_ORACLE,
         "ml_split_folds": _ML_SPLIT_ORACLE,
@@ -1838,6 +1971,7 @@ def oracle_sql() -> dict[str, str]:
         "ml_auc_midrank": _ML_AUC_ORACLE,
         "ml_linreg_metrics": _ML_LINREG_ORACLE,
         "sample_by_source": _SAMPLE_ORACLE,
+        "temperature_mix_docs": _TEMPERATURE_MIX_ORACLE,
         "pack_sequences": _PACK_ORACLE,
         "minhash_dedup_docs": _minhash_oracle(),
         # hfe_collapse: the RF decisions are not SQL-expressible, but the

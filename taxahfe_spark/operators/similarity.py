@@ -563,3 +563,52 @@ def ann_self_pairs(
         "cosine", F.round(cosine_similarity_col("va", "vb"), 8)
     )
     return scored.filter(F.col("cosine") >= threshold).select("a", "b", "cosine")
+
+
+def embedding_dedup(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    **pair_kwargs,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, end to end: pairs at
+    ``cosine >= threshold`` -> connected components -> one canonical keeper
+    per component. Returns (id_col, rep_id, keep) for EVERY input row:
+    ``rep_id`` is the smallest id in the row's duplicate component (itself
+    for singletons) and ``keep`` marks the component representative — the
+    same min-id canonical rule as exact_dedup / minhash_dedup, so the three
+    dedup families compose interchangeably in a filtering pipeline.
+
+    ``method="exact"`` scores all pairs (quadratic — the verification path
+    and the driver value-oracle target); ``method="lsh"`` generates
+    candidates via random-hyperplane buckets (ann_self_pairs), the scale
+    path: linear scans + bucket joins, recall < 1 pinned in tests. Both
+    emit only (id, id, cosine) triples into the component step — vectors
+    never enter a shuffle after scoring. Components use pointer-shortcut
+    min-label propagation with a convergence certificate
+    (operators/dedup.py:connected_components).
+
+    Graft operator (SURVEY LLM-pipeline family: embedding near-dup); the
+    reference R engine has no embedding surface.
+    """
+    from taxahfe_spark.operators.dedup import connected_components
+
+    if method == "exact":
+        pairs = cosine_allpairs(df, threshold, id_col=id_col, vec_col=vec_col)
+    elif method == "lsh":
+        pairs = ann_self_pairs(
+            df, threshold, id_col=id_col, vec_col=vec_col, **pair_kwargs
+        )
+    else:
+        raise ValueError(f"method must be 'exact' or 'lsh', got {method!r}")
+    labels = connected_components(pairs.select("a", "b"))
+    ids = df.select(F.col(id_col).cast("long").alias(id_col))
+    out = ids.join(
+        labels.withColumnRenamed("id", id_col), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce(F.col("cluster"), F.col(id_col)).alias("rep_id"),
+    )
+    return out.withColumn("keep", F.col(id_col) == F.col("rep_id"))

@@ -272,3 +272,42 @@ def streaming_windowed_counts(
             "sum_value",
         )
     )
+
+
+def streaming_exact_dedup(
+    df: DataFrame,
+    content_cols: str | list[str],
+    ts: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: one surviving row per distinct content within
+    the watermark horizon, via ``dropDuplicatesWithinWatermark`` over
+    ``xxhash64(content_cols)`` — the continuous-ingestion port of
+    exact_dedup / dedup_sequences (content_cols=["tokens"] gives the
+    north-rule sequence shape).
+
+    Contract differences vs the batch operators, stated rather than hidden:
+    - batch keeps the MIN-ID row per duplicate group; a stream keeps the
+      FIRST-ARRIVED row (arrival order is the only total order a stream
+      has). Batch==stream on the kept-CONTENT set; the representative id
+      may differ.
+    - duplicates separated by more than ``watermark`` in event time may
+      both survive — that bound is exactly what lets the state store evict
+      (per-key state is dropped once the watermark passes it). This is the
+      standard bounded-state dedup contract; a full-history dedup of an
+      unbounded stream is impossible by definition.
+    - hash state is 8-byte keys only: token arrays / text never enter the
+      state store, matching the batch operators' "arrays never shuffle"
+      scale shape. The price of keyless-content state is hash-exactness:
+      a 64-bit collision (~n^2/2^65) drops a non-duplicate row, where the
+      batch operators verify the actual arrays. At collision-audit-critical
+      stakes, run the batch pass; this is the ingestion-time prefilter.
+    """
+    cols = [content_cols] if isinstance(content_cols, str) else list(content_cols)
+    df = df.withColumn(ts, F.col(ts).cast("timestamp"))
+    keyed = df.withColumn("__h", F.xxhash64(*[F.col(c) for c in cols]))
+    return (
+        keyed.withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark(["__h"])
+        .drop("__h")
+    )

@@ -464,6 +464,70 @@ def sample_by_source(
     )
 
 
+def temperature_rates(
+    df: DataFrame,
+    tau: float,
+    source_col: str = "source",
+    weight_col: str | None = None,
+    target_frac: float | None = None,
+) -> dict[str, float]:
+    """Per-source keep rates for temperature-scaled mixture sampling.
+
+    The multilingual-LM mixing rule (Lample & Conneau 2019; XLM-R): with
+    source mass shares q_s, sample sources proportionally to q_s^tau
+    (tau < 1 upweights small sources, tau = 1 is natural, tau = 0 uniform).
+    Rates are normalized so the MOST-upweighted source is kept whole
+    (rate 1.0) — the largest mix achievable without replication — then
+    optionally scaled down by ``target_frac``. ``weight_col`` (e.g. n_tok)
+    weighs mass by tokens instead of documents; sampling is still per
+    document, the standard approximation.
+
+    One groupBy over a source-cardinality frame (sources are bounded by
+    definition — dozens, not millions), computed driver-side so the rates
+    are plain literals in the downstream sampling plan.
+    """
+    agg = F.sum(weight_col) if weight_col else F.count(F.lit(1))
+    stats = df.groupBy(source_col).agg(agg.alias("__m")).collect()
+    mass = {r[source_col]: float(r["__m"]) for r in stats}
+    srcs = sorted(mass)  # deterministic summation order (collect order isn't)
+    tot = sum(mass[s] for s in srcs)
+    p = {s: (mass[s] / tot) ** tau for s in srcs}
+    z = sum(p[s] for s in srcs)
+    p = {s: v / z for s, v in p.items()}
+    budget = min(mass[s] / p[s] for s in srcs)
+    if target_frac is not None:
+        budget *= target_frac
+    # quantize: the discrete keep set must not hinge on summation-order ulps
+    # (the SQL oracle's SUM() adds in its own order); 1e-12 >> ulp noise and
+    # << any real rate gap
+    return {s: round(min(1.0, p[s] * budget / mass[s]), 12) for s in srcs}
+
+
+def temperature_mix(
+    df: DataFrame,
+    tau: float,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    weight_col: str | None = None,
+    target_frac: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-scaled training-mix sampling: derive per-source rates
+    from the corpus's own source masses (``temperature_rates``) and apply
+    them with the deterministic md5-ranked sampler (``sample_by_source``).
+    The whole chain — mass aggregation, tau-power mix weights, rate
+    normalization, hash-ranked keep set — is replayed verbatim by the
+    DuckDB oracle (driver query ``temperature_mix_docs``), so the rate
+    DERIVATION is value-gated, not just the sampling."""
+    rates = temperature_rates(
+        df, tau, source_col=source_col, weight_col=weight_col,
+        target_frac=target_frac,
+    )
+    return sample_by_source(
+        df, rates, id_col=id_col, source_col=source_col, seed=seed
+    )
+
+
 def pack_sequences(
     seqs: DataFrame,
     budget: int,

@@ -634,3 +634,67 @@ def test_connected_components_random_graphs_match_networkx_free_oracle(spark):
             r["id"]: r["cluster"] for r in connected_components(pairs).collect()
         }
         assert got == expected, f"trial {trial}"
+
+
+def test_embedding_dedup_chain_and_singletons(spark):
+    """embedding_dedup: a near-dup CHAIN (a~b~c with no direct a~c edge)
+    collapses to one component with the min-id keeper; singletons keep
+    themselves; every input row appears exactly once in the output."""
+    import numpy as np
+    from taxahfe_spark.operators.similarity import embedding_dedup
+
+    # chain 0~1~2 by planar rotation: consecutive cosine = cos(0.1) ~ 0.995,
+    # ends cosine = cos(0.2) ~ 0.980 — a threshold of 0.99 links ONLY the
+    # consecutive pairs, so the 3-node component exists purely via label
+    # propagation. 7/9 are orthogonal axes: singletons.
+    def planar(theta):
+        v = np.zeros(8)
+        v[0], v[1] = np.cos(theta), np.sin(theta)
+        return [float(x) for x in v]
+
+    e = np.eye(8)
+    rows = [
+        (0, planar(0.0)),
+        (1, planar(0.1)),
+        (2, planar(0.2)),
+        (7, [float(x) for x in e[2]]),
+        (9, [float(x) for x in e[3]]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in embedding_dedup(df, 0.99).collect()}
+    assert set(out) == {0, 1, 2, 7, 9}
+    assert [out[i]["rep_id"] for i in (0, 1, 2)] == [0, 0, 0]
+    assert [out[i]["keep"] for i in (0, 1, 2)] == [True, False, False]
+    for i in (7, 9):
+        assert out[i]["rep_id"] == i and out[i]["keep"]
+
+
+def test_embedding_dedup_lsh_matches_exact_on_planted_dups(spark):
+    """The LSH candidate path agrees with the exact path on well-separated
+    planted duplicates (high threshold, enough tables for recall 1 here)."""
+    import numpy as np
+    from taxahfe_spark.operators.similarity import embedding_dedup
+
+    rng = np.random.default_rng(21)
+    rows, vid = [], 0
+    for i in range(30):
+        v = rng.normal(0, 1, 16)
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v])); vid += 1
+        if i % 5 == 0:
+            w = v + rng.normal(0, 0.005, 16)
+            w /= np.linalg.norm(w)
+            rows.append((vid, [float(x) for x in w])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["vec_id"], r["rep_id"], r["keep"])
+        for r in embedding_dedup(df, 0.98, method="exact").collect()
+    }
+    lsh = {
+        (r["vec_id"], r["rep_id"], r["keep"])
+        for r in embedding_dedup(
+            df, 0.98, method="lsh", n_planes=6, n_tables=10, seed=5
+        ).collect()
+    }
+    assert exact == lsh
+    assert sum(1 for _, _, k in exact if not k) == 6  # one dup per planted pair

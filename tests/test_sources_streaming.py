@@ -249,3 +249,57 @@ def test_streaming_locf_out_of_order_matches_batch(spark, sf_dir, tmp_path):
         b = m[f"{col}_b"].to_numpy(dtype=float)
         s = m[f"{col}_s"].to_numpy(dtype=float)
         assert ((b == s) | (np.isnan(b) & np.isnan(s))).all()
+
+
+def test_streaming_exact_dedup_matches_batch_content_set(spark, sf_dir, tmp_path):
+    """streaming_exact_dedup over the north-rule sequence shape: the kept
+    CONTENT set equals batch dedup_sequences' (one survivor per distinct
+    token array), out-of-order arrivals included, and every survivor is an
+    input row. Representative choice (first-arrival vs min-id) is the
+    documented contract difference, so ids are not compared."""
+    from taxahfe_spark.streaming.sessions import streaming_exact_dedup
+    from taxahfe_spark.tokens import dedup_sequences, tokenize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    seqs = tokenize(docs, "text", "doc_id", extra_cols=["source"]).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "tokens", "n_tok", "source"
+    )
+    # plant duplicates: re-key a third of the corpus as new rows with the
+    # same token arrays, then give every row an event time (out of order:
+    # the duplicate COPIES arrive before their originals)
+    dups = seqs.filter(F.crc32(F.col("doc_id")) % 3 == 0).select(
+        F.concat(F.lit("copy_"), "doc_id").alias("doc_id"),
+        "tokens", "n_tok", "source",
+    )
+    both = seqs.unionByName(dups)
+    evts = both.withColumn(
+        "ts",
+        F.to_timestamp(
+            F.lit("2024-01-01 00:00:00")
+        ) + F.make_interval(secs=F.when(
+            F.col("doc_id").startswith("copy_"), F.lit(0)
+        ).otherwise(F.lit(600))),
+    )
+    p = str(tmp_path / "seq_events")
+    evts.write.parquet(p)
+
+    stream = spark.readStream.schema(evts.schema).parquet(p)
+    out = streaming_exact_dedup(stream, "tokens", ts="ts", watermark="1 hour")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sdedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT doc_id, tokens FROM sdedup_out").toPandas()
+    finally:
+        q.stop()
+
+    batch = dedup_sequences(evts.drop("ts")).toPandas()
+    got_contents = sorted(tuple(t) for t in got["tokens"])
+    batch_contents = sorted(tuple(t) for t in batch["tokens"])
+    assert got_contents == batch_contents  # one survivor per distinct array
+    in_ids = {r["doc_id"] for r in both.select("doc_id").collect()}
+    assert set(got["doc_id"]) <= in_ids

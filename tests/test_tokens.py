@@ -216,3 +216,39 @@ def test_pack_sequences_chunked_identical_and_parallel(spark):
         df_s, budget=1000, small_n=0, prefix_len=2
     )._jdf.queryExecution().executedPlan().toString()
     assert "__chunk" in plan
+
+
+def test_temperature_rates_semantics(spark):
+    """tau=1 -> natural mix (all rates 1); tau=0 -> equal per-source token
+    targets (rate inversely proportional to mass, biggest source most
+    downsampled); the most-upweighted source is always kept whole."""
+    from taxahfe_spark.tokens import temperature_mix, temperature_rates
+
+    rows = (
+        [(i, "big", 100) for i in range(80)]
+        + [(1000 + i, "mid", 100) for i in range(16)]
+        + [(2000 + i, "small", 100) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+
+    nat = temperature_rates(df, tau=1.0)
+    assert all(abs(r - 1.0) < 1e-9 for r in nat.values())
+
+    uni = temperature_rates(df, tau=0.0)
+    # equal targets: budget = 3 * 4 docs -> keep 4 from every source
+    assert abs(uni["small"] - 1.0) < 1e-9
+    assert abs(uni["mid"] - 4 / 16) < 1e-9
+    assert abs(uni["big"] - 4 / 80) < 1e-9
+
+    mid = temperature_rates(df, tau=0.5)
+    assert abs(mid["small"] - 1.0) < 1e-9
+    assert uni["big"] < mid["big"] < 1.0
+
+    out = temperature_mix(df, tau=0.0, seed=3)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"big": 4, "mid": 4, "small": 4}
+    # determinism: same seed -> same kept ids
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in temperature_mix(df, tau=0.0, seed=3).collect())
+    assert a == b
