@@ -935,6 +935,64 @@ WHERE r.rn <= ceil(r.n * s.rate)
 """
 
 
+def q_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap (max_len=32, stride=16): one
+    training row per window, arrays digested as (len, sum) per the repo's
+    array-compare convention. Oracle replays tokenize + generate_series
+    offsets + list slicing in SQL."""
+    from taxahfe_spark.tokens import chunk_sequences, tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    seqs = tokenize(docs, "text", "doc_id")
+    out = chunk_sequences(seqs, max_len=32, stride=16)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("chunk_off").cast("long").alias("chunk_off"),
+        F.col("n_chunk_tok").cast("long").alias("n_chunk_tok"),
+        F.aggregate(
+            "chunk", F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
+        ).alias("chunk_sum"),
+    )
+
+
+_CHUNK_SEQ_ORACLE = """
+WITH dw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents
+),
+vocab AS (
+  SELECT word, CAST(row_number() OVER (ORDER BY word) - 1 AS BIGINT) AS token_id
+  FROM (SELECT DISTINCT unnest(words) AS word FROM dw)
+),
+ex AS (
+  SELECT doc_id, unnest(words) AS word,
+         unnest(range(1, len(words) + 1)) AS pos
+  FROM dw
+),
+toks AS (
+  SELECT e.doc_id, list(v.token_id ORDER BY e.pos) AS tokens
+  FROM ex e JOIN vocab v USING (word) GROUP BY e.doc_id
+),
+offs AS (
+  SELECT doc_id, tokens, unnest(range(0, len(tokens), 16)) AS off
+  FROM toks WHERE len(tokens) > 0
+),
+ch AS (
+  SELECT doc_id,
+         CAST(off / 16 AS BIGINT) AS chunk_id,
+         CAST(off AS BIGINT) AS chunk_off,
+         tokens[off + 1 : off + 32] AS chunk
+  FROM offs
+)
+SELECT doc_id, chunk_id, chunk_off,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tok,
+       CAST(list_aggregate(chunk, 'sum') AS BIGINT) AS chunk_sum
+FROM ch
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (chunked cumulative bins per source)."""
     from taxahfe_spark.tokens import pack_sequences, tokenize
@@ -1721,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_by_source": q_sample_by_source,
         "temperature_mix_docs": q_temperature_mix,
         "pack_sequences": q_pack_sequences,
+        "chunk_sequences_docs": q_chunk_sequences,
     }
 
 
@@ -1973,6 +2032,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_by_source": _SAMPLE_ORACLE,
         "temperature_mix_docs": _TEMPERATURE_MIX_ORACLE,
         "pack_sequences": _PACK_ORACLE,
+        "chunk_sequences_docs": _CHUNK_SEQ_ORACLE,
         "minhash_dedup_docs": _minhash_oracle(),
         # hfe_collapse: the RF decisions are not SQL-expressible, but the
         # engine is bit-deterministic at fixed seed (tested across

@@ -616,3 +616,44 @@ def pack_sequences(
         )
     wb = Window.partitionBy(*keys, "bin").orderBy(F.col(id_col).asc())
     return out.withColumn("bin_pos", F.row_number().over(wb) - 1)
+
+
+def chunk_sequences(
+    seqs: DataFrame,
+    max_len: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    min_len: int = 1,
+) -> DataFrame:
+    """Split token sequences into fixed-length context windows — the
+    chunking pass that turns variable-length documents into training rows
+    for a fixed context size. ``stride`` < ``max_len`` yields overlapping
+    windows (the eval-perplexity / long-doc idiom); default stride =
+    max_len gives disjoint chunks. Tail chunks shorter than ``min_len``
+    tokens are dropped (min_len=1 keeps every tail).
+
+    Output: one row per (sequence, chunk): id_col, chunk_id (0-based),
+    chunk_off (token offset), chunk (array slice), n_chunk_tok. Windows
+    start at every ``offset = k*stride < n_tok`` — no length cap, no
+    collect, no UDF: `sequence()` builds the offsets, `posexplode` fans
+    them out, `slice()` cuts the arrays. The only data movement is the
+    fan-out itself (an in-task generate, not a shuffle); at 10^12 sequences
+    the output is written partition-local, and the expansion factor is
+    bounded by ceil(n_tok / stride) per row by construction.
+    """
+    if stride is None:
+        stride = max_len
+    if stride <= 0 or max_len <= 0:
+        raise ValueError(f"max_len and stride must be positive, got {max_len}, {stride}")
+    n = F.size(F.col(tokens_col))
+    offs = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    out = seqs.select(
+        "*", F.posexplode(offs).alias("chunk_id", "chunk_off")
+    ).withColumn("chunk", F.slice(F.col(tokens_col), F.col("chunk_off") + 1, max_len))
+    out = out.withColumn("n_chunk_tok", F.size("chunk"))
+    if min_len > 1:
+        out = out.filter(F.col("n_chunk_tok") >= min_len)
+    return out.drop(tokens_col)

@@ -252,3 +252,42 @@ def test_temperature_rates_semantics(spark):
     a = sorted(r["doc_id"] for r in out.collect())
     b = sorted(r["doc_id"] for r in temperature_mix(df, tau=0.0, seed=3).collect())
     assert a == b
+
+
+def test_chunk_sequences_windows_and_tails(spark):
+    """Disjoint and overlapping chunking: offsets at k*stride < n_tok, each
+    chunk is slice(off, max_len); empty sequences produce no rows; min_len
+    drops short tails."""
+    from taxahfe_spark.tokens import chunk_sequences
+
+    rows = [
+        ("a", list(range(10)), 10),  # 10 toks
+        ("b", list(range(3)), 3),    # shorter than max_len
+        ("c", [], 0),                # empty: no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, n_tok int")
+
+    # disjoint: max_len=4, stride=4 -> a: [0..3],[4..7],[8..9]; b: [0..2]
+    out = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunk_sequences(df, max_len=4).collect()
+    }
+    assert set(out) == {("a", 0), ("a", 1), ("a", 2), ("b", 0)}
+    assert out[("a", 2)]["chunk"] == [8, 9]
+    assert out[("a", 2)]["chunk_off"] == 8
+    assert out[("a", 1)]["chunk"] == [4, 5, 6, 7]
+    assert out[("b", 0)]["n_chunk_tok"] == 3
+
+    # overlap: max_len=4, stride=2 -> a offsets 0,2,4,6,8
+    ov = {
+        r["chunk_off"]: r["chunk"]
+        for r in chunk_sequences(df, max_len=4, stride=2)
+        .filter("doc_id = 'a'").collect()
+    }
+    assert sorted(ov) == [0, 2, 4, 6, 8]
+    assert ov[2] == [2, 3, 4, 5]
+    assert ov[8] == [8, 9]
+
+    # min_len=4 drops the 2-token tail at off 8 and b's 3-token chunk
+    kept = chunk_sequences(df, max_len=4, min_len=4).collect()
+    assert {(r["doc_id"], r["chunk_id"]) for r in kept} == {("a", 0), ("a", 1)}
