@@ -935,6 +935,140 @@ WHERE r.rn <= ceil(r.n * s.rate)
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction value gate. The synthetic corpus has no natural PII, so
+    the query INJECTS deterministic PII-shaped spans (email / url / phone /
+    ipv4 derived from doc_id) before scrubbing — the oracle performs the
+    identical injection + regex replay, so the whole scrub chain (patterns,
+    counts, placeholder rewrite) is value-checked via md5 of the scrubbed
+    text."""
+    from taxahfe_spark.operators.textstats import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id").cast("string")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit(" reach user"), d, F.lit("@mail-example.org or https://site"),
+            d, F.lit(".example/p?q=1 call +1 (555) 010-0"), d,
+            F.lit("99 from 10.0."), (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7 now"),
+        ),
+    )
+    out = pii_scrub(injected)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_url").cast("long").alias("n_url"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.md5("text_scrubbed").alias("scrub_md5"),
+    )
+
+
+_PII_SCRUB_ORACLE = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' reach user' || CAST(doc_id AS VARCHAR)
+              || '@mail-example.org or https://site' || CAST(doc_id AS VARCHAR)
+              || '.example/p?q=1 call +1 (555) 010-0' || CAST(doc_id AS VARCHAR)
+              || '99 from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7 now'
+           AS text
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS n_email,
+         len(regexp_split_to_array(text, 'https?://[^\s]+')) - 1 AS n_url,
+         len(regexp_split_to_array(text, '\+?[0-9][0-9()\-\s]{7,}[0-9]')) - 1 AS n_phone,
+         len(regexp_split_to_array(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) - 1 AS n_ipv4
+  FROM injected
+),
+scrubbed AS (
+  SELECT doc_id, n_email, n_url, n_phone, n_ipv4,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g'),
+             '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g'),
+           'https?://[^\s]+', '<URL>', 'g') AS text_scrubbed
+  FROM counted
+)
+SELECT doc_id, n_email, n_url, n_phone, n_ipv4, md5(text_scrubbed) AS scrub_md5
+FROM scrubbed
+"""
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText document-filter rule chain, every rule replayed in
+    SQL (reasons joined to one string for the compare)."""
+    from taxahfe_spark.operators.textstats import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = gopher_rules(docs, min_words=40)
+    return out.select(
+        "doc_id", "keep", F.array_join("reject_reasons", ",").alias("reasons")
+    )
+
+
+_GOPHER_ORACLE = f"""
+WITH dw AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents
+),
+st AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         list_aggregate(list_transform(words, w -> CAST(length(w) AS DOUBLE)), 'sum')
+           / greatest(len(words), 1) AS mean_wl,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS alpha_ratio,
+         len(list_intersect(words, {_EN_LIST})) AS stop_hits,
+         1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / greatest(len(words), 1) AS dup_word_frac
+  FROM dw
+),
+r AS (
+  SELECT doc_id,
+         list_filter([
+           CASE WHEN n_words < 40 THEN 'too_few_words' END,
+           CASE WHEN n_words > 100000 THEN 'too_many_words' END,
+           CASE WHEN mean_wl < 3.0 OR mean_wl > 10.0 THEN 'mean_word_len_out_of_range' END,
+           CASE WHEN alpha_ratio < 0.70 THEN 'low_alpha_ratio' END,
+           CASE WHEN stop_hits < 2 THEN 'too_few_stopwords' END,
+           CASE WHEN dup_word_frac > 0.30 THEN 'high_dup_word_frac' END
+         ], x -> x IS NOT NULL) AS reasons
+  FROM st
+)
+SELECT doc_id, len(reasons) = 0 AS keep,
+       coalesce(list_aggregate(reasons, 'string_agg', ','), '') AS reasons
+FROM r
+"""
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global training order (md5-ranked): dense
+    positions, layout-invariant, replayed by the oracle's row_number over
+    the same md5 key."""
+    from taxahfe_spark.tokens import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = epoch_shuffle(docs, seed=7, epoch=3)
+    return out.select("doc_id", F.col("shuffle_pos").cast("long").alias("shuffle_pos"))
+
+
+_EPOCH_SHUFFLE_ORACLE = """
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7:3'), doc_id
+       ) - 1 AS shuffle_pos
+FROM documents
+"""
+
+
 def q_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking with overlap (max_len=32, stride=16): one
     training row per window, arrays digested as (len, sum) per the repo's
@@ -1780,6 +1914,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix_docs": q_temperature_mix,
         "pack_sequences": q_pack_sequences,
         "chunk_sequences_docs": q_chunk_sequences,
+        "pii_scrub_docs": q_pii_scrub,
+        "gopher_rules_docs": q_gopher_rules,
+        "epoch_shuffle_docs": q_epoch_shuffle,
     }
 
 
@@ -2033,6 +2170,9 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix_docs": _TEMPERATURE_MIX_ORACLE,
         "pack_sequences": _PACK_ORACLE,
         "chunk_sequences_docs": _CHUNK_SEQ_ORACLE,
+        "pii_scrub_docs": _PII_SCRUB_ORACLE,
+        "gopher_rules_docs": _GOPHER_ORACLE,
+        "epoch_shuffle_docs": _EPOCH_SHUFFLE_ORACLE,
         "minhash_dedup_docs": _minhash_oracle(),
         # hfe_collapse: the RF decisions are not SQL-expressible, but the
         # engine is bit-deterministic at fixed seed (tested across

@@ -262,3 +262,104 @@ def repetition_stats(
             F.round(F.col("__top") / F.col("__ng"), 6).alias("top_ngram_share"),
         )
     )
+
+
+# PII patterns chosen to mean the same thing to Spark (Java regex) and
+# DuckDB (RE2): no backrefs, no lookaround, ASCII classes only.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    out_col: str = "text_scrubbed",
+) -> DataFrame:
+    """Redact PII-shaped spans (emails, URLs, phone numbers, IPv4) to
+    ``<KIND>`` placeholders — the pre-training scrub pass every public
+    web-corpus pipeline runs (C4 removes pages, CCNet/RefinedWeb redact
+    in place; this is the redact-in-place form).
+
+    Pure ``regexp_replace`` chain + per-kind match counts: whole-stage
+    codegen, no UDF, no shuffle — a 100 TB scan-only pass. Patterns avoid
+    engine-specific regex features so the DuckDB oracle replays them
+    verbatim (driver query ``pii_scrub_docs``). Counts are emitted per
+    kind (``n_<kind>``) so downstream policy can drop documents whose PII
+    density is too high instead of keeping the scrubbed husk.
+    """
+    patterns = patterns if patterns is not None else PII_PATTERNS
+    out = df
+    scrubbed = F.col(text_col)
+    for kind in sorted(patterns):
+        pat = patterns[kind]
+        # count BEFORE redaction on the original column, so kinds whose
+        # patterns could overlap placeholders stay independent
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.split(F.col(text_col), pat)) - 1,
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return out.withColumn(out_col, scrubbed)
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_ratio: float = 0.70,
+    min_stopword_hits: int = 2,
+    max_dup_word_frac: float = 0.30,
+) -> DataFrame:
+    """Gopher/MassiveText-style document filter: the published rule set
+    (Rae et al. 2021 Table A1, simplified to the text features this engine
+    computes) as ONE boolean ``keep`` plus a ``reject_reasons`` array so
+    corpus reports can attribute losses per rule.
+
+    Composition of text_stats + repetition word fractions — built-ins
+    only, one scan, no shuffle. Thresholds are parameters with the
+    published defaults; the driver oracle replays the whole rule chain in
+    SQL (``gopher_rules_docs``).
+    """
+    dw = words(df, text_col)
+    n_words = F.size("words")
+    safe_words = F.greatest(n_words, F.lit(1))
+    mean_wl = (
+        F.aggregate(
+            "words", F.lit(0).cast("double"), lambda a, w: a + F.length(w)
+        )
+        / safe_words
+    )
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+        / F.greatest(F.length(F.col(text_col)), F.lit(1))
+    )
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect("words", sw))
+    dup_word_frac = F.lit(1.0) - F.size(F.array_distinct("words")) / safe_words
+
+    rules = [
+        ("too_few_words", n_words < min_words),
+        ("too_many_words", n_words > max_words),
+        ("mean_word_len_out_of_range",
+         (mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len)),
+        ("low_alpha_ratio", alpha_ratio < min_alpha_ratio),
+        ("too_few_stopwords", stop_hits < min_stopword_hits),
+        ("high_dup_word_frac", dup_word_frac > max_dup_word_frac),
+    ]
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(name)).otherwise(F.lit(None)) for name, cond in rules]),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        dw.withColumn("reject_reasons", reasons)
+        .withColumn("keep", F.size("reject_reasons") == 0)
+        .drop("words")
+    )

@@ -657,3 +657,51 @@ def chunk_sequences(
     if min_len > 1:
         out = out.filter(F.col("n_chunk_tok") >= min_len)
     return out.drop(tokens_col)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    seed: int = 42,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+    out_col: str = "shuffle_pos",
+    small_n: int = 1 << 16,
+) -> DataFrame:
+    """Deterministic global training order for one epoch: every row gets a
+    dense 0-based position ranked by ``md5(id:seed:epoch)`` — a different
+    but reproducible permutation per epoch, a pure function of (id, seed,
+    epoch). Layout-invariant and engine-portable (the DuckDB oracle replays
+    it with the same md5), so a resumed or re-scheduled run reads the same
+    order — the data-order reproducibility contract LLM training needs.
+
+    Scale shape (same construction as build_vocab / pack_sequences): above
+    ``small_n`` rows there is NO global one-task window. The md5 hex key is
+    uniform, so its 2-char prefix partitions the keyspace into 256 MONOTONE
+    chunks: rank within prefix (parallel window) + cumulative prefix counts
+    (a 256-row driver list) == the global rank, exactly. Below ``small_n``
+    the single window is cheaper; both branches produce identical positions.
+    """
+    key = F.md5(
+        F.concat_ws(
+            ":", F.col(id_col).cast("string"), F.lit(str(seed)), F.lit(str(epoch))
+        )
+    )
+    keyed = df.withColumn("__k", key)
+    pfx = F.substring("__k", 1, 2)
+    counts = keyed.groupBy(pfx.alias("__p")).count().collect()
+    total = sum(r["count"] for r in counts)
+    if total <= small_n:
+        w = Window.orderBy("__k", F.col(id_col).asc())
+        return keyed.withColumn(out_col, F.row_number().over(w) - 1).drop("__k")
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["__p"]):
+        offsets.append((r["__p"], acc))
+        acc += r["count"]
+    off_df = df.sparkSession.createDataFrame(offsets, ["__p", "__off"])
+    w = Window.partitionBy("__p").orderBy("__k", F.col(id_col).asc())
+    return (
+        keyed.withColumn("__p", pfx)
+        .join(F.broadcast(off_df), "__p")
+        .withColumn(out_col, F.row_number().over(w) - 1 + F.col("__off"))
+        .drop("__k", "__p", "__off")
+    )

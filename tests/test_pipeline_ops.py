@@ -698,3 +698,72 @@ def test_embedding_dedup_lsh_matches_exact_on_planted_dups(spark):
     }
     assert exact == lsh
     assert sum(1 for _, _, k in exact if not k) == 6  # one dup per planted pair
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from taxahfe_spark.operators.textstats import pii_scrub
+
+    rows = [
+        (1, "mail me at a.b+c@ex-am.ple.org or b@x.io thanks"),
+        (2, "see https://a.example/p?q=1 and http://b.io/x"),
+        (3, "call +1 (555) 010-0199 or 555 010 0199 now"),
+        (4, "host 10.0.0.7 and 192.168.1.255 up"),
+        (5, "nothing sensitive here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got[1]["n_email"] == 2
+    assert "<EMAIL>" in got[1]["text_scrubbed"] and "@" not in got[1]["text_scrubbed"]
+    assert got[2]["n_url"] == 2
+    assert "https://" not in got[2]["text_scrubbed"]
+    assert got[3]["n_phone"] == 2
+    assert "555" not in got[3]["text_scrubbed"]
+    assert got[4]["n_ipv4"] == 2
+    assert "10.0.0.7" not in got[4]["text_scrubbed"]
+    assert got[5]["text_scrubbed"] == rows[4][1]
+    assert all(got[5][f"n_{k}"] == 0 for k in ("email", "url", "phone", "ipv4"))
+
+
+def test_gopher_rules_reasons(spark):
+    from taxahfe_spark.operators.textstats import gopher_rules
+
+    # mostly-unique words keep dup_word_frac low; "the"/"is" repeats stay
+    # under 0.3; word lengths average in the 3..10 band
+    long_good = " ".join(
+        f"the wordalpha{i} wordbravo{i} wordcharlie{i} worddelta{i} wordecho{i} is"
+        for i in range(10)
+    )
+    rows = [
+        (1, long_good),                      # passes everything
+        (2, "short text"),                   # too few words (+ too few stopwords)
+        (3, "the " + "spam " * 60 + "is a thing"),  # high dup-word fraction
+        (4, "the 123 456 789 000 111 222 333 444 555 666 is a " + "x1 " * 40),  # low alpha
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_rules(df, min_words=20).collect()}
+    assert got[1]["keep"] and got[1]["reject_reasons"] == []
+    assert not got[2]["keep"]
+    assert "too_few_words" in got[2]["reject_reasons"]
+    assert not got[3]["keep"]
+    assert "high_dup_word_frac" in got[3]["reject_reasons"]
+    assert not got[4]["keep"]
+    assert "low_alpha_ratio" in got[4]["reject_reasons"]
+
+
+def test_epoch_shuffle_dense_deterministic_and_epoch_varying(spark):
+    from taxahfe_spark.tokens import epoch_shuffle
+
+    rows = [(i, "s") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = {r["doc_id"]: r["shuffle_pos"] for r in epoch_shuffle(df, seed=1, epoch=0).collect()}
+    b = {r["doc_id"]: r["shuffle_pos"] for r in epoch_shuffle(df, seed=1, epoch=0).collect()}
+    c = {r["doc_id"]: r["shuffle_pos"] for r in epoch_shuffle(df, seed=1, epoch=1).collect()}
+    assert a == b                              # reproducible
+    assert sorted(a.values()) == list(range(300))  # dense permutation
+    assert a != c                              # epoch changes the order
+    # chunked branch (small_n=0) produces the IDENTICAL permutation
+    d = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in epoch_shuffle(df, seed=1, epoch=0, small_n=0).collect()
+    }
+    assert d == a
