@@ -604,7 +604,9 @@ def embedding_dedup(
     else:
         raise ValueError(f"method must be 'exact' or 'lsh', got {method!r}")
     labels = connected_components(pairs.select("a", "b"))
-    ids = df.select(F.col(id_col).cast("long").alias(id_col))
+    # no cast: cluster labels inherit the id column's own type from the
+    # pair frame, so string doc ids work as well as numeric vector ids
+    ids = df.select(id_col)
     out = ids.join(
         labels.withColumnRenamed("id", id_col), id_col, "left"
     ).select(
