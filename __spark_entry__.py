@@ -935,6 +935,111 @@ WHERE r.rn <= ceil(r.n * s.rate)
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup over the north-rule sequence shape: the
+    'new batch' (doc_id < 250, 2-token prefixes to manufacture duplicates)
+    self-dedups collision-exactly, then drops rows whose content already
+    exists in the 'corpus' (doc_id >= 200) via a hash-only anti join — the
+    corpus arrays never move. Oracle replays tokenize + min-id batch dedup
+    + anti join on the corpus's distinct prefixes."""
+    from taxahfe_spark.tokens import incremental_dedup_sequences, tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    seqs = tokenize(docs, "text", "doc_id")
+    pref = seqs.select("doc_id", F.slice("tokens", 1, 2).alias("pfx"))
+    new = pref.filter("doc_id < 250")
+    corpus = pref.filter("doc_id >= 200")
+    kept = incremental_dedup_sequences(new, corpus, tokens_col="pfx")
+    return kept.select(
+        "doc_id",
+        F.size("pfx").cast("long").alias("pfx_len"),
+        F.aggregate(
+            "pfx", F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
+        ).alias("pfx_sum"),
+    )
+
+
+_INCR_DEDUP_ORACLE = """
+WITH dw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents
+),
+vocab AS (
+  SELECT word, CAST(row_number() OVER (ORDER BY word) - 1 AS BIGINT) AS token_id
+  FROM (SELECT DISTINCT unnest(words) AS word FROM dw)
+),
+ex AS (
+  SELECT doc_id, unnest(words) AS word,
+         unnest(range(1, len(words) + 1)) AS pos
+  FROM dw
+),
+toks AS (
+  SELECT e.doc_id, (list(v.token_id ORDER BY e.pos))[1:2] AS pfx
+  FROM ex e JOIN vocab v USING (word) GROUP BY e.doc_id
+),
+batch AS (
+  SELECT pfx, min(doc_id) AS doc_id FROM toks WHERE doc_id < 250 GROUP BY pfx
+),
+corpus AS (SELECT DISTINCT pfx FROM toks WHERE doc_id >= 200)
+SELECT b.doc_id, CAST(len(b.pfx) AS BIGINT) AS pfx_len,
+       CAST(list_aggregate(b.pfx, 'sum') AS BIGINT) AS pfx_sum
+FROM batch b ANTI JOIN corpus c ON b.pfx = c.pfx
+"""
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus card: doc/char/word counts, distinct-content
+    count, exact-dup fraction, mean heuristic quality — the dataset summary
+    a pipeline publishes. Oracle replays text_stats + normalized-dup
+    counting per group."""
+    from taxahfe_spark.tokens import corpus_report
+
+    docs = _t(spark, sf_dir, "documents")
+    out = corpus_report(docs)
+    return out.select(
+        "source", "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "dup_frac", "mean_quality",
+    )
+
+
+_CORPUS_REPORT_ORACLE = f"""
+WITH dw AS (
+  SELECT doc_id, source, lang, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+),
+st AS (
+  SELECT source, lang, norm,
+         length(text) AS n_chars,
+         len(words) AS n_words,
+         round(
+           least(len(words) / 20.0, 1.0) * 0.25
+           + (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1)) * 0.25
+           + (1.0 - least((CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1)) * 4, 1.0)) * 0.15
+           + (CAST(len(list_intersect(words, {_EN_LIST})) AS DOUBLE) / 16.0) * 0.15
+           + (CAST(len(list_distinct(words)) AS DOUBLE) / greatest(len(words), 1)) * 0.20,
+         6) AS quality
+  FROM dw
+)
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       count(DISTINCT norm) AS n_distinct,
+       round(1.0 - CAST(count(DISTINCT norm) AS DOUBLE) / count(*), 6) AS dup_frac,
+       round(avg(quality), 6) AS mean_quality
+FROM st GROUP BY source, lang
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction value gate. The synthetic corpus has no natural PII, so
     the query INJECTS deterministic PII-shaped spans (email / url / phone /
@@ -1917,6 +2022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_docs": q_pii_scrub,
         "gopher_rules_docs": q_gopher_rules,
         "epoch_shuffle_docs": q_epoch_shuffle,
+        "incremental_dedup_docs": q_incremental_dedup,
+        "corpus_report_docs": q_corpus_report,
     }
 
 
@@ -2173,6 +2280,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub_docs": _PII_SCRUB_ORACLE,
         "gopher_rules_docs": _GOPHER_ORACLE,
         "epoch_shuffle_docs": _EPOCH_SHUFFLE_ORACLE,
+        "incremental_dedup_docs": _INCR_DEDUP_ORACLE,
+        "corpus_report_docs": _CORPUS_REPORT_ORACLE,
         "minhash_dedup_docs": _minhash_oracle(),
         # hfe_collapse: the RF decisions are not SQL-expressible, but the
         # engine is bit-deterministic at fixed seed (tested across

@@ -705,3 +705,71 @@ def epoch_shuffle(
         .withColumn(out_col, F.row_number().over(w) - 1 + F.col("__off"))
         .drop("__k", "__p", "__off")
     )
+
+
+def incremental_dedup_sequences(
+    new: DataFrame,
+    corpus: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    dup_broadcast_max: int = 5_000_000,
+) -> DataFrame:
+    """Incremental ingestion dedup: keep rows of ``new`` that are exact
+    duplicates neither WITHIN the batch nor OF the existing ``corpus`` —
+    without ever moving the corpus's arrays.
+
+    Scale shape: the batch first self-dedups (dedup_sequences — min-id per
+    distinct array, arrays shuffled only inside repeated-hash groups); the
+    cross check then anti-joins the batch against corpus HASHES only
+    (8-byte keys: the corpus projects xxhash64(tokens), so 10^12 corpus
+    rows contribute one long each and the corpus arrays stay in place).
+    Ingestion batches are small relative to the corpus by definition, so
+    AQE turns the anti join into a broadcast of the batch side's hashes.
+
+    64-bit cross-check caveat (same trade as streaming_exact_dedup): a
+    hash collision between a new row and an unrelated corpus row drops the
+    new row (~|new| x |corpus| / 2^64). The WITHIN-batch stage stays
+    collision-exact via dedup_sequences.
+    """
+    batch = dedup_sequences(
+        new, tokens_col=tokens_col, id_col=id_col,
+        dup_broadcast_max=dup_broadcast_max,
+    )
+    corpus_hashes = corpus.select(
+        F.xxhash64(F.col(tokens_col)).alias("__h")
+    ).distinct()
+    keyed = batch.withColumn("__h", F.xxhash64(F.col(tokens_col)))
+    return keyed.join(corpus_hashes, "__h", "left_anti").drop("__h")
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group corpus card: the summary table a training-data pipeline
+    publishes next to a dataset (docs, chars, distinct-content count, exact
+    dup fraction, mean heuristic quality). One scan + one groupBy whose
+    cardinality is sources x languages (bounded); dup counting goes
+    through xxhash64(normalized text), never the text itself.
+    """
+    from taxahfe_spark.operators.dedup import normalize_text
+    from taxahfe_spark.operators.textstats import text_stats
+
+    group_cols = group_cols if group_cols is not None else ["source", "lang"]
+    st = text_stats(docs, text_col).withColumn(
+        "__h", F.xxhash64(normalize_text(F.col(text_col)))
+    )
+    return (
+        st.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars_").alias("n_chars"),
+            F.sum("n_words").alias("n_words"),
+            F.countDistinct("__h").alias("n_distinct"),
+            F.round(
+                F.lit(1.0) - F.countDistinct("__h") / F.count(F.lit(1)), 6
+            ).alias("dup_frac"),
+            F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+        )
+    )

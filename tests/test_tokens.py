@@ -291,3 +291,42 @@ def test_chunk_sequences_windows_and_tails(spark):
     # min_len=4 drops the 2-token tail at off 8 and b's 3-token chunk
     kept = chunk_sequences(df, max_len=4, min_len=4).collect()
     assert {(r["doc_id"], r["chunk_id"]) for r in kept} == {("a", 0), ("a", 1)}
+
+
+def test_incremental_dedup_sequences(spark):
+    """Batch self-dedup (min-id per distinct array) plus corpus anti join:
+    rows duplicated within the batch collapse, rows already in the corpus
+    vanish, fresh content survives."""
+    from taxahfe_spark.tokens import incremental_dedup_sequences
+
+    new = spark.createDataFrame(
+        [
+            ("n1", [1, 2, 3]),
+            ("n2", [1, 2, 3]),   # dup within batch -> n1 survives the self-dedup
+            ("n3", [4, 5]),      # already in corpus -> dropped
+            ("n4", [7, 8, 9]),   # fresh
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    corpus = spark.createDataFrame(
+        [("c1", [4, 5]), ("c2", [6])], "doc_id string, tokens array<int>"
+    )
+    got = sorted(r["doc_id"] for r in incremental_dedup_sequences(new, corpus).collect())
+    assert got == ["n1", "n4"]
+
+
+def test_corpus_report_groups_and_dup_frac(spark):
+    from taxahfe_spark.tokens import corpus_report
+
+    rows = [
+        (1, "the cat sat on the mat", "en", "a"),
+        (2, "THE CAT  SAT ON THE MAT  ", "en", "a"),  # dup after normalize
+        (3, "something else entirely here", "en", "a"),
+        (4, "unique text for group b", "en", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {r["source"]: r for r in corpus_report(df).collect()}
+    assert got["a"]["n_docs"] == 3 and got["a"]["n_distinct"] == 2
+    assert abs(got["a"]["dup_frac"] - round(1 - 2 / 3, 6)) < 1e-9
+    assert got["b"]["n_docs"] == 1 and got["b"]["dup_frac"] == 0.0
+    assert 0.0 < got["a"]["mean_quality"] <= 1.0
