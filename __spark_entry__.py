@@ -935,6 +935,43 @@ WHERE r.rn <= ceil(r.n * s.rate)
 """
 
 
+def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware holdout split (eval / quarantine / train). Texts are
+    truncated to 25 chars in the query so the synthetic corpus actually
+    contains cross-boundary duplicates and the quarantine branch is
+    exercised; the oracle mirrors the truncation and replays the md5-rank
+    eval cut plus the normalized-content leak check."""
+    from taxahfe_spark.tokens import holdout_split
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 25).alias("text")
+    )
+    out = holdout_split(docs, frac=0.05, seed=9)
+    return out.select("doc_id", "split")
+
+
+_HOLDOUT_ORACLE = """
+WITH t AS (
+  SELECT doc_id, substr(text, 1, 25) AS text FROM documents
+),
+ranked AS (
+  SELECT doc_id,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm,
+         row_number() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':9:0'), doc_id
+         ) - 1 AS pos,
+         count(*) OVER () AS n
+  FROM t
+),
+ev AS (SELECT DISTINCT norm FROM ranked WHERE pos < ceil(n * 0.05))
+SELECT doc_id,
+       CASE WHEN pos < ceil(n * 0.05) THEN 'eval'
+            WHEN norm IN (SELECT norm FROM ev) THEN 'quarantine'
+            ELSE 'train' END AS split
+FROM ranked
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup over the north-rule sequence shape: the
     'new batch' (doc_id < 250, 2-token prefixes to manufacture duplicates)
@@ -2024,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle_docs": q_epoch_shuffle,
         "incremental_dedup_docs": q_incremental_dedup,
         "corpus_report_docs": q_corpus_report,
+        "holdout_split_docs": q_holdout_split,
     }
 
 
@@ -2282,6 +2320,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle_docs": _EPOCH_SHUFFLE_ORACLE,
         "incremental_dedup_docs": _INCR_DEDUP_ORACLE,
         "corpus_report_docs": _CORPUS_REPORT_ORACLE,
+        "holdout_split_docs": _HOLDOUT_ORACLE,
         "minhash_dedup_docs": _minhash_oracle(),
         # hfe_collapse: the RF decisions are not SQL-expressible, but the
         # engine is bit-deterministic at fixed seed (tested across

@@ -773,3 +773,47 @@ def corpus_report(
             F.round(F.avg("quality_score"), 6).alias("mean_quality"),
         )
     )
+
+
+def holdout_split(
+    docs: DataFrame,
+    frac: float = 0.01,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup-aware eval-holdout creation: sample ~``frac`` of documents as
+    the eval set (deterministic md5 rank, layout-invariant), then QUARANTINE
+    any remaining document whose normalized content equals an eval
+    document's — the split-time form of benchmark decontamination: content
+    that leaks across the boundary goes to neither side.
+
+    Adds ``split`` in {'eval','quarantine','train'}. The eval membership is
+    a pure function of (id, seed); the quarantine check goes through
+    xxhash64(normalized text) with the eval-side hash set broadcast (eval
+    is frac-sized by construction), so train-side text never shuffles.
+    Hash-exact: a 64-bit collision quarantines an innocent row (~|eval| x
+    |train| / 2^64) — the conservative failure direction for a holdout.
+    One count() job sizes the eval cut; ranking reuses epoch_shuffle's
+    prefix-chunked construction (no one-task window).
+    """
+    import math
+
+    from taxahfe_spark.operators.dedup import normalize_text
+
+    n = docs.count()
+    k = int(math.ceil(n * frac))
+    ranked = epoch_shuffle(docs, seed=seed, epoch=0, id_col=id_col, out_col="__pos")
+    keyed = ranked.withColumn("__h", F.xxhash64(normalize_text(F.col(text_col))))
+    eval_hashes = (
+        keyed.filter(F.col("__pos") < k).select(F.col("__h").alias("__eh")).distinct()
+    )
+    marked = keyed.join(
+        F.broadcast(eval_hashes), keyed["__h"] == eval_hashes["__eh"], "left"
+    )
+    split = (
+        F.when(F.col("__pos") < k, F.lit("eval"))
+        .when(F.col("__eh").isNotNull(), F.lit("quarantine"))
+        .otherwise(F.lit("train"))
+    )
+    return marked.withColumn("split", split).drop("__pos", "__h", "__eh")

@@ -330,3 +330,31 @@ def test_corpus_report_groups_and_dup_frac(spark):
     assert abs(got["a"]["dup_frac"] - round(1 - 2 / 3, 6)) < 1e-9
     assert got["b"]["n_docs"] == 1 and got["b"]["dup_frac"] == 0.0
     assert 0.0 < got["a"]["mean_quality"] <= 1.0
+
+
+def test_holdout_split_eval_cut_and_quarantine(spark):
+    """Eval membership is the md5-rank cut; any non-eval row sharing
+    normalized content with an eval row is quarantined; everything else
+    trains. Deterministic in (id, seed)."""
+    from taxahfe_spark.tokens import holdout_split
+
+    rows = [(i, f"unique text number {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["split"] for r in holdout_split(df, frac=0.1, seed=5).collect()}
+    assert sum(1 for s in out.values() if s == "eval") == 4  # ceil(40*0.1)
+    assert all(s in ("eval", "train") for s in out.values())  # no dups -> no quarantine
+
+    # plant a duplicate of an eval doc: it must land in quarantine
+    ev_id = next(i for i, s in out.items() if s == "eval")
+    df2 = df.union(
+        spark.createDataFrame([(999, f"unique text number {ev_id}")], df.schema)
+    )
+    out2 = {r["doc_id"]: r["split"] for r in holdout_split(df2, frac=0.1, seed=5).collect()}
+    assert out2[999] in ("quarantine", "eval")
+    if out2[999] == "quarantine":
+        assert out2[ev_id] == "eval"
+    else:  # 999 itself ranked into the eval cut; the original is the leak
+        assert out2[ev_id] == "quarantine"
+    # determinism
+    out3 = {r["doc_id"]: r["split"] for r in holdout_split(df2, frac=0.1, seed=5).collect()}
+    assert out2 == out3
