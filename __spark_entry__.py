@@ -1536,6 +1536,99 @@ WHERE doc_id NOT IN (SELECT b FROM losers)
 """
 
 
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingestion (md5 lanes): the 'new batch'
+    (doc_id < 250) is screened against the 'corpus' (doc_id >= 200) —
+    texts truncated to 30 chars so the synthetic corpus genuinely contains
+    cross-frame near-dups (incl. the 200-249 overlap, which must drop).
+    The oracle replays shingle md5, lane mins, band keys, corpus-side
+    bucket cap, candidate join, and the est-Jaccard >= 0.8 drop rule
+    bit-identically."""
+    from taxahfe_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 30).alias("text")
+    )
+    kept = incremental_minhash_dedup(
+        docs.filter("doc_id < 250"),
+        docs.filter("doc_id >= 200"),
+        threshold=0.8,
+        num_hashes=_MH_LANES,
+        num_bands=_MH_BANDS,
+        hash_fn="md5",
+        max_bucket_size=_MH_CAP,
+    )
+    return kept.select("doc_id")
+
+
+def _incr_minhash_oracle() -> str:
+    n, nb = _MH_LANES, _MH_BANDS
+    rpb = n // nb
+    h60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+    lane_mins = ",\n       ".join(
+        f"min({h60.format(x=f'h0 || ' + repr(f':{i}'))}) AS h{i}" for i in range(n)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band_idx, ".format(b=b)
+        + h60.format(
+            x=" || ',' || ".join(
+                f"h{b * rpb + i}::VARCHAR" for i in range(rpb)
+            )
+        )
+        + " AS band_hash FROM lanes"
+        for b in range(nb)
+    )
+    eq_terms = " + ".join(
+        f"CASE WHEN la.h{i} = lb.h{i} THEN 1 ELSE 0 END" for i in range(n)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_replace(trim(lower(substr(text, 1, 30))), '\\s+', ' ', 'g') AS norm
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, norm,
+         unnest(generate_series(1, greatest(length(norm) - 5 + 1, 1))) AS p
+  FROM base
+),
+sh AS (SELECT doc_id, md5(substr(norm, p, 5) || ':42') AS h0 FROM pos),
+lanes AS (
+  SELECT doc_id,
+       {lane_mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+bn AS (SELECT * FROM bands WHERE doc_id < 250),
+bc AS (SELECT * FROM bands WHERE doc_id >= 200),
+hot AS (
+  SELECT band_idx, band_hash FROM bc
+  GROUP BY 1, 2 HAVING count(*) > {_MH_CAP}
+),
+bc2 AS (
+  SELECT b.* FROM bc b
+  LEFT JOIN hot h USING (band_idx, band_hash)
+  WHERE h.band_idx IS NULL
+),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM bn x JOIN bc2 y USING (band_idx, band_hash)
+  GROUP BY 1, 2
+),
+losers AS (
+  SELECT DISTINCT c.a
+  FROM cand c
+  JOIN lanes la ON la.doc_id = c.a
+  JOIN lanes lb ON lb.doc_id = c.b
+  WHERE ({eq_terms}) / {n}.0 >= 0.8
+)
+SELECT doc_id FROM documents
+WHERE doc_id < 250 AND doc_id NOT IN (SELECT a FROM losers)
+"""
+
+
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash with the md5-60bit word hash — bit-identical to the DuckDB
     oracle (the default xxhash64 variant has no DuckDB analog and is covered
@@ -2045,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_allpairs_embeddings": q_cosine_allpairs_embeddings,
         "embedding_dedup_vectors": q_embedding_dedup,
         "minhash_dedup_docs": q_minhash_dedup_docs,
+        "incremental_minhash_docs": q_incremental_minhash,
         "simhash_docs": q_simhash_docs,
         "hfe_collapse": q_hfe_collapse,
         "hfe_corr_collapse": q_hfe_corr_collapse,
@@ -2322,6 +2416,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report_docs": _CORPUS_REPORT_ORACLE,
         "holdout_split_docs": _HOLDOUT_ORACLE,
         "minhash_dedup_docs": _minhash_oracle(),
+        "incremental_minhash_docs": _incr_minhash_oracle(),
         # hfe_collapse: the RF decisions are not SQL-expressible, but the
         # engine is bit-deterministic at fixed seed (tested across
         # strategies/layouts/chunkings), so the full decision chain is

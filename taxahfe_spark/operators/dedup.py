@@ -166,6 +166,40 @@ def minhash_signatures(
     )
 
 
+def _band_keys_col(num_bands: int, rows_per_band: int, hash_fn: str):
+    """Band-key array over a `sig` column — factored so one-frame self-join
+    LSH (minhash_lsh_pairs) and cross-frame incremental LSH
+    (incremental_minhash_dedup) band identically."""
+    if hash_fn == "md5":
+        # engine-portable band key: md5_hash60 over the comma-joined lane
+        # values (explicit join, not an array cast, so the string is
+        # byte-identical in any engine). Built as num_bands separate exprs —
+        # this is the small oracle variant, portability beats codegen here.
+        return F.array(
+            *[
+                md5_hash60(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sig")[b * rows_per_band + i].cast("string")
+                            for i in range(rows_per_band)
+                        ],
+                    )
+                )
+                for b in range(num_bands)
+            ]
+        )
+    # transform-over-sequence, NOT an array of per-band exprs: an
+    # F.array of 16 independent slice+hash expressions measured 1.6x
+    # slower than the single fused lambda on the sf0.1 band job
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.xxhash64(
+            F.slice("sig", b * rows_per_band + 1, rows_per_band).cast("string")
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -192,35 +226,7 @@ def minhash_lsh_pairs(
     if sig_len is None:
         sig_len = sigs.select(F.size("sig")).first()[0]
     rows_per_band = max(1, sig_len // num_bands)
-    if hash_fn == "md5":
-        # engine-portable band key: md5_hash60 over the comma-joined lane
-        # values (explicit join, not an array cast, so the string is
-        # byte-identical in any engine). Built as num_bands separate exprs —
-        # this is the small oracle variant, portability beats codegen here.
-        bands = F.array(
-            *[
-                md5_hash60(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("sig")[b * rows_per_band + i].cast("string")
-                            for i in range(rows_per_band)
-                        ],
-                    )
-                )
-                for b in range(num_bands)
-            ]
-        )
-    else:
-        # transform-over-sequence, NOT an array of per-band exprs: an
-        # F.array of 16 independent slice+hash expressions measured 1.6x
-        # slower than the single fused lambda on the sf0.1 band job
-        bands = F.transform(
-            F.sequence(F.lit(0), F.lit(num_bands - 1)),
-            lambda b: F.xxhash64(
-                F.slice("sig", b * rows_per_band + 1, rows_per_band).cast("string")
-            ),
-        )
+    bands = _band_keys_col(num_bands, rows_per_band, hash_fn)
     banded = sigs.select(
         F.col(id_col).alias("id"),
         "sig",
@@ -510,3 +516,85 @@ def ngram_jaccard_pairs(
         )
     )
     return out.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+
+
+def incremental_minhash_dedup(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int = 200,
+    corpus_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental NEAR-dup ingestion: drop rows of ``new`` whose
+    signature-estimated Jaccard against ANY existing corpus document is
+    >= threshold — the fuzzy companion to incremental_dedup_sequences'
+    exact check, and the shape a continuous crawl pipeline actually runs
+    (batch-vs-index, never corpus-vs-corpus).
+
+    Scale shape: band keys of the NEW batch join band keys of the CORPUS —
+    candidate generation is |new bands| x |matching corpus buckets|, linear
+    in the batch, and the corpus contributes only (id, band, 8-byte hash)
+    rows. Pass ``corpus_sigs`` (from minhash_signatures, same params) to
+    skip re-shingling the corpus — the production form, where the signature
+    index is maintained incrementally and 100 TB of corpus text is never
+    touched at ingest time. The hot-bucket cap applies to the CORPUS side
+    (a degenerate boilerplate bucket there would pair with every batch
+    doc); within-batch near-dups are minhash_dedup's job — compose as
+    ``minhash_dedup(incremental_minhash_dedup(new, corpus, ...))``.
+    """
+    sn = minhash_signatures(
+        new, text_col, id_col, num_hashes, shingle_k, seed, hash_fn=hash_fn
+    ).persist()
+    sn.count()  # fill the cache once: referenced by bands + rescore
+    sc = (
+        corpus_sigs
+        if corpus_sigs is not None
+        else minhash_signatures(
+            corpus, text_col, id_col, num_hashes, shingle_k, seed, hash_fn=hash_fn
+        )
+    ).persist()
+    sc.count()
+    rows_per_band = max(1, num_hashes // num_bands)
+    keys = _band_keys_col(num_bands, rows_per_band, hash_fn)
+    bn = sn.select(
+        F.col(id_col).alias("a"), F.posexplode(keys).alias("band_idx", "band_hash")
+    )
+    bc = sc.select(
+        F.col(id_col).alias("b"), F.posexplode(keys).alias("band_idx", "band_hash")
+    )
+    if max_bucket_size is not None:
+        hot = (
+            bc.groupBy("band_idx", "band_hash")
+            .count()
+            .filter(F.col("count") > max_bucket_size)
+            .select("band_idx", "band_hash")
+        )
+        bc = bc.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
+    cand = bn.join(bc, ["band_idx", "band_hash"]).select("a", "b").distinct()
+    sa = sn.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
+    sb = sc.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
+    est = cand.join(sa, "a").join(sb, "b").withColumn(
+        "est_jaccard",
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.size("sig_a"),
+    )
+    losers = (
+        est.filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("a").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sn.unpersist()
+    sc.unpersist()
+    return new.join(losers, id_col, "left_anti")

@@ -767,3 +767,28 @@ def test_epoch_shuffle_dense_deterministic_and_epoch_varying(spark):
         for r in epoch_shuffle(df, seed=1, epoch=0, small_n=0).collect()
     }
     assert d == a
+
+
+def test_incremental_minhash_dedup(spark):
+    """Cross-frame near-dup ingestion: a batch doc near-identical to a
+    corpus doc is dropped, fresh content survives, and the precomputed
+    corpus_sigs path (the production index shape) gives identical results.
+    Within-batch duplicates are intentionally NOT this operator's job."""
+    from taxahfe_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "sleepy", 1)
+    fresh = "completely different content about spark engines " * 8
+    corpus = spark.createDataFrame([(100, base)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(1, near), (2, fresh), (3, base)], ["doc_id", "text"]
+    )
+    kept = incremental_minhash_dedup(new, corpus, threshold=0.5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2]
+
+    sigs = minhash_signatures(corpus)
+    kept2 = incremental_minhash_dedup(new, corpus, threshold=0.5, corpus_sigs=sigs)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [2]
