@@ -1165,7 +1165,7 @@ WITH dw AS (
 st AS (
   SELECT doc_id,
          len(words) AS n_words,
-         list_aggregate(list_transform(words, w -> CAST(length(w) AS DOUBLE)), 'sum')
+         coalesce(list_aggregate(list_transform(words, w -> CAST(length(w) AS DOUBLE)), 'sum'), 0.0)
            / greatest(len(words), 1) AS mean_wl,
          CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
            / greatest(length(text), 1) AS alpha_ratio,

@@ -553,14 +553,17 @@ def incremental_minhash_dedup(
         new, text_col, id_col, num_hashes, shingle_k, seed, hash_fn=hash_fn
     ).persist()
     sn.count()  # fill the cache once: referenced by bands + rescore
-    sc = (
-        corpus_sigs
-        if corpus_sigs is not None
-        else minhash_signatures(
+    own_corpus_sigs = corpus_sigs is None
+    if own_corpus_sigs:
+        sc = minhash_signatures(
             corpus, text_col, id_col, num_hashes, shingle_k, seed, hash_fn=hash_fn
-        )
-    ).persist()
-    sc.count()
+        ).persist()
+        sc.count()
+    else:
+        # Caller-maintained incremental signature index: its storage level
+        # is the caller's to manage — persisting/unpersisting it here would
+        # evict the very cache the parameter exists to reuse across batches.
+        sc = corpus_sigs
     rows_per_band = max(1, num_hashes // num_bands)
     keys = _band_keys_col(num_bands, rows_per_band, hash_fn)
     bn = sn.select(
@@ -596,5 +599,6 @@ def incremental_minhash_dedup(
         .localCheckpoint(eager=True)
     )
     sn.unpersist()
-    sc.unpersist()
+    if own_corpus_sigs:
+        sc.unpersist()
     return new.join(losers, id_col, "left_anti")

@@ -331,6 +331,11 @@ def gopher_rules(
     dw = words(df, text_col)
     n_words = F.size("words")
     safe_words = F.greatest(n_words, F.lit(1))
+    # Zero-word documents (punctuation-only text) get mean_wl == 0.0, so
+    # 'mean_word_len_out_of_range' fires alongside 'too_few_words' — an
+    # explicit contract the SQL oracle mirrors via coalesce(sum, 0.0)
+    # (DuckDB's list_aggregate([], 'sum') is NULL, which would otherwise
+    # silently drop the rule on exactly those rows).
     mean_wl = (
         F.aggregate(
             "words", F.lit(0).cast("double"), lambda a, w: a + F.length(w)

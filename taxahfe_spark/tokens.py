@@ -781,6 +781,7 @@ def holdout_split(
     seed: int = 42,
     id_col: str = "doc_id",
     text_col: str = "text",
+    eval_broadcast_max: int = 5_000_000,
 ) -> DataFrame:
     """Dedup-aware eval-holdout creation: sample ~``frac`` of documents as
     the eval set (deterministic md5 rank, layout-invariant), then QUARANTINE
@@ -790,8 +791,13 @@ def holdout_split(
 
     Adds ``split`` in {'eval','quarantine','train'}. The eval membership is
     a pure function of (id, seed); the quarantine check goes through
-    xxhash64(normalized text) with the eval-side hash set broadcast (eval
-    is frac-sized by construction), so train-side text never shuffles.
+    xxhash64(normalized text). The eval-side hash set is broadcast only
+    while the eval cut is at most ``eval_broadcast_max`` rows (k = ceil(n *
+    frac) is known exactly from the sizing count, so the gate is free): at
+    the 10^9+-doc scale a 1% eval cut is gigabytes, and force-broadcasting
+    it would bypass Spark's size-based planning — above the gate the join
+    falls back to an explicit shuffle on the 8-byte hash, the same
+    fallback convention as exact_dedup's ``dup_broadcast_max``.
     Hash-exact: a 64-bit collision quarantines an innocent row (~|eval| x
     |train| / 2^64) — the conservative failure direction for a holdout.
     One count() job sizes the eval cut; ranking reuses epoch_shuffle's
@@ -808,8 +814,10 @@ def holdout_split(
     eval_hashes = (
         keyed.filter(F.col("__pos") < k).select(F.col("__h").alias("__eh")).distinct()
     )
+    if k <= eval_broadcast_max:
+        eval_hashes = F.broadcast(eval_hashes)
     marked = keyed.join(
-        F.broadcast(eval_hashes), keyed["__h"] == eval_hashes["__eh"], "left"
+        eval_hashes, keyed["__h"] == eval_hashes["__eh"], "left"
     )
     split = (
         F.when(F.col("__pos") < k, F.lit("eval"))

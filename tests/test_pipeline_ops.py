@@ -792,3 +792,67 @@ def test_incremental_minhash_dedup(spark):
     sigs = minhash_signatures(corpus)
     kept2 = incremental_minhash_dedup(new, corpus, threshold=0.5, corpus_sigs=sigs)
     assert sorted(r["doc_id"] for r in kept2.collect()) == [2]
+
+
+def test_gopher_rules_zero_word_doc_matches_duckdb_oracle(spark):
+    """ADVICE r6: a punctuation-only (zero-word) document must get the SAME
+    filter decision from the Spark operator and the DuckDB oracle. Spark's
+    F.aggregate with a 0.0 init yields mean_wl = 0.0 (rule fires); DuckDB's
+    list_aggregate([], 'sum') is NULL, which the oracle now coalesces to
+    0.0 so the CASE fires identically."""
+    import duckdb
+
+    from taxahfe_spark.operators.textstats import gopher_rules
+
+    rows = [
+        (1, "!!! ??? ... --- !!!"),  # zero words after tokenization
+        (2, "the quick brown " + " ".join(f"fox{i}" for i in range(40)) + " is here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_rules(df, min_words=20).collect()}
+    assert not got[1]["keep"]
+    assert "too_few_words" in got[1]["reject_reasons"]
+    assert "mean_word_len_out_of_range" in got[1]["reject_reasons"]
+
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            "(%d, %s)" % (i, "'" + t.replace("'", "''") + "'") for i, t in rows
+        )
+        + ") AS t(doc_id, text)"
+    )
+    # the driver oracle uses min_words=40; the operator default compare
+    # needs the same threshold, so swap the literal for this fixture
+    sql = entry._GOPHER_ORACLE.replace("n_words < 40", "n_words < 20")
+    oracle = {
+        r[0]: (r[1], set(r[2].split(",")) if r[2] else set())
+        for r in con.execute(sql).fetchall()
+    }
+    for i, _ in rows:
+        assert oracle[i][0] == got[i]["keep"], f"keep mismatch doc {i}"
+        assert oracle[i][1] == set(got[i]["reject_reasons"]), f"reasons mismatch doc {i}"
+
+
+def test_incremental_minhash_dedup_keeps_caller_cache(spark):
+    """ADVICE r6: a caller-provided corpus_sigs index must stay cached
+    after the call — the function may not unpersist storage it does not
+    own (that would destroy the cross-batch reuse the parameter exists
+    for)."""
+    from taxahfe_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    corpus = spark.createDataFrame([(100, base)], ["doc_id", "text"])
+    new = spark.createDataFrame([(1, base), (2, "fresh content " * 20)], ["doc_id", "text"])
+    sigs = minhash_signatures(corpus).persist()
+    sigs.count()
+    assert sigs.storageLevel.useMemory
+    kept = incremental_minhash_dedup(new, corpus, threshold=0.5, corpus_sigs=sigs)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2]
+    assert sigs.storageLevel.useMemory, "caller-owned cache was evicted"
+    sigs.unpersist()

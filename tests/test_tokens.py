@@ -358,3 +358,19 @@ def test_holdout_split_eval_cut_and_quarantine(spark):
     # determinism
     out3 = {r["doc_id"]: r["split"] for r in holdout_split(df2, frac=0.1, seed=5).collect()}
     assert out2 == out3
+
+
+def test_holdout_split_shuffle_fallback_matches_broadcast(spark):
+    """ADVICE r6: above eval_broadcast_max the eval-hash probe joins via
+    shuffle instead of a forced broadcast; the split labels are identical
+    either way."""
+    from taxahfe_spark.tokens import holdout_split
+
+    rows = [(i, f"unique text number {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["split"] for r in holdout_split(df, frac=0.1, seed=5).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in holdout_split(df, frac=0.1, seed=5, eval_broadcast_max=0).collect()
+    }
+    assert a == b
