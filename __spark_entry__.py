@@ -2105,6 +2105,84 @@ SELECT metric, round(value, 6) AS value FROM vals
 """
 
 
+_BM25_QUERY = "spark distributed data processing engine"
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed query over documents (Okapi, k1=1.2 b=0.75,
+    non-negative idf). The oracle replays the full chain — tokenize, corpus
+    constants, per-term df, per-doc tf, score, (score desc, id) cut — in
+    SQL with the same ASCII tokenizer. (Graft operator — the reference R
+    engine has no retrieval surface; SURVEY LLM-pipeline family.)"""
+    from taxahfe_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_topk(docs, _BM25_QUERY, k=20)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_BM25_ORACLE = """
+WITH dw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents
+),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(words)) AS avgdl FROM dw),
+posting AS (
+  SELECT doc_id, len(words) AS dl, t.word,
+         len(list_filter(words, w -> w = t.word)) AS tf
+  FROM dw, UNNEST(['spark','distributed','data','processing','engine']) AS t(word)
+  WHERE list_contains(words, t.word)
+),
+dfreq AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM posting GROUP BY 1),
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+           * p.tf * (1.2 + 1.0)
+           / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / st.avgdl))
+         ) AS score
+  FROM posting p JOIN dfreq d USING (word) CROSS JOIN st
+  GROUP BY 1
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def q_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF rows (smooth idf, sklearn form) over a doc_id < 100
+    slice; df derives from the tf aggregate (one corpus scan), the
+    vocab-side join is AQE's broadcast decision. Oracle replays tf/df/idf
+    in SQL over the same slice."""
+    from taxahfe_spark.operators.retrieval import tfidf_weights
+
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 100")
+    out = tfidf_weights(docs)
+    return out.select(
+        "doc_id", "word",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.round("tfidf", 6).alias("tfidf"),
+    )
+
+
+_TFIDF_ORACLE = """
+WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM t),
+posting AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+  FROM t
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM posting GROUP BY 1, 2),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+       round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df)) + 1.0), 6) AS tfidf
+FROM tf JOIN dfreq USING (word) CROSS JOIN n
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2156,6 +2234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_docs": q_incremental_dedup,
         "corpus_report_docs": q_corpus_report,
         "holdout_split_docs": q_holdout_split,
+        "bm25_topk_docs": q_bm25_topk,
+        "tfidf_weights_docs": q_tfidf_weights,
     }
 
 
@@ -2415,6 +2495,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup_docs": _INCR_DEDUP_ORACLE,
         "corpus_report_docs": _CORPUS_REPORT_ORACLE,
         "holdout_split_docs": _HOLDOUT_ORACLE,
+        "bm25_topk_docs": _BM25_ORACLE,
+        "tfidf_weights_docs": _TFIDF_ORACLE,
         "minhash_dedup_docs": _minhash_oracle(),
         "incremental_minhash_docs": _incr_minhash_oracle(),
         # hfe_collapse: the RF decisions are not SQL-expressible, but the

@@ -1,4 +1,4 @@
-"""Watchdog for the round-6 scaling artifacts: probe box health, and the
+"""Watchdog for the per-round scaling artifacts: probe box health, and the
 moment the STREAM probe clears the healthy floor, run the amortized 8->32
 and 2->8 scaling suites back to back, writing probe-stamped artifacts.
 
@@ -6,8 +6,8 @@ Exists because this VM's host contention comes and goes in multi-hour
 episodes (VERDICT r5 adjudicated a whole round's bench record as
 degraded-box data); polling for a quiet window beats recording garbage.
 
-Usage: python tools/run_scaling_when_healthy.py [max_hours]
-Writes bench_results/scaling_r6_{8_32,2_8}_a.json + .log on success;
+Usage: python tools/run_scaling_when_healthy.py [max_hours] [tag]
+Writes bench_results/scaling_r{TAG}_{8_32,2_8}_a.json + .log on success;
 records a final degraded-box attempt anyway (clearly suffixed) if no
 healthy window appears within max_hours.
 """
@@ -69,6 +69,7 @@ def run_suite(lo: int, hi: int, out_name: str) -> None:
 
 def main() -> None:
     max_hours = float(sys.argv[1]) if len(sys.argv) > 1 else 3.0
+    tag = sys.argv[2] if len(sys.argv) > 2 else "r7"
     deadline = time.time() + max_hours * 3600
     attempt = 0
     while True:
@@ -76,15 +77,15 @@ def main() -> None:
         p = probe()
         print(f"probe attempt {attempt}: {p}", flush=True)
         if not p["box_degraded"]:
-            run_suite(8, 32, "scaling_r6_8_32_a")
-            run_suite(2, 8, "scaling_r6_2_8_a")
+            run_suite(8, 32, f"scaling_{tag}_8_32_a")
+            run_suite(2, 8, f"scaling_{tag}_2_8_a")
             print("healthy-box artifacts recorded", flush=True)
             return
         if time.time() > deadline:
             # no healthy window: record anyway, clearly labeled — the
             # artifact self-stamps box_degraded so it cannot be mistaken
             # for a clean claim
-            run_suite(8, 32, "scaling_r6_8_32_degraded")
+            run_suite(8, 32, f"scaling_{tag}_8_32_degraded")
             print("deadline hit: recorded degraded-box artifact", flush=True)
             return
         time.sleep(600)
