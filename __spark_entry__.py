@@ -238,6 +238,89 @@ FROM events e ASOF LEFT JOIN snap s
 """
 
 
+def _purchase_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("snap_ts"))
+        .agg(F.max("value").alias("purchase_value"))
+    )
+
+
+def q_asof_events_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """direction='forward': each event matched to the user's NEXT purchase
+    (time-to-conversion shape — forward label lookahead is the point here,
+    not a leak). Oracle is DuckDB's forward ASOF (e.ts <= snap_ts)."""
+    from taxahfe_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = asof_join(
+        ev, _purchase_snap(spark, sf_dir), on="user_id", left_ts="ts",
+        right_ts="snap_ts", value_cols=["purchase_value"], strategy="union",
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round("purchase_value", 4).alias("next_purchase_value"),
+    )
+
+
+_ASOF_FORWARD_ORACLE = """
+WITH pur AS (
+  SELECT user_id, ts AS snap_ts, max(value) AS pv
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       round(p.pv, 4) AS next_purchase_value
+FROM events e ASOF LEFT JOIN pur p
+  ON e.user_id = p.user_id AND e.ts <= p.snap_ts
+"""
+
+
+def q_asof_events_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """direction='nearest' on the zero-shuffle broadcast probe: closest
+    purchase either way, ties backward (pandas semantics). Oracle composes
+    DuckDB's two ASOF directions and replays the tie rule."""
+    from taxahfe_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = asof_join(
+        ev, _purchase_snap(spark, sf_dir), on="user_id", left_ts="ts",
+        right_ts="snap_ts", value_cols=["purchase_value"],
+        strategy="broadcast", direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round("purchase_value", 4).alias("nearest_purchase_value"),
+    )
+
+
+_ASOF_NEAREST_ORACLE = """
+WITH pur AS (
+  SELECT user_id, ts AS snap_ts, max(value) AS pv
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+b AS (
+  SELECT e.event_id, e.user_id, e.ts, p.snap_ts AS bts, p.pv AS bv
+  FROM events e ASOF LEFT JOIN pur p
+    ON e.user_id = p.user_id AND e.ts >= p.snap_ts
+),
+f AS (
+  SELECT e.event_id, p.snap_ts AS fts, p.pv AS fv
+  FROM events e ASOF LEFT JOIN pur p
+    ON e.user_id = p.user_id AND e.ts <= p.snap_ts
+)
+SELECT b.event_id, b.user_id, b.ts,
+       round(
+         CASE WHEN b.bts IS NOT NULL
+                   AND (f.fts IS NULL OR (b.ts - b.bts) <= (f.fts - b.ts))
+              THEN b.bv ELSE f.fv END,
+         4
+       ) AS nearest_purchase_value
+FROM b JOIN f USING (event_id)
+"""
+
+
 def q_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxahfe_spark.operators.windows import lag_lead_features
 
@@ -2192,6 +2275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events_orders": q_asof_events_orders,
         "asof_events_orders_salted": q_asof_events_orders_salted,
         "asof_events_orders_broadcast": q_asof_events_orders_broadcast,
+        "asof_events_forward": q_asof_events_forward,
+        "asof_events_nearest": q_asof_events_nearest,
         "lag_lead_events": q_lag_lead_events,
         "sessionize_events": q_sessionize_events,
         "session_stats_events": q_session_stats_events,
@@ -2393,6 +2478,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_events_orders": _ASOF_ORACLE,
         "asof_events_orders_salted": _ASOF_ORACLE,
         "asof_events_orders_broadcast": _ASOF_ORACLE,
+        "asof_events_forward": _ASOF_FORWARD_ORACLE,
+        "asof_events_nearest": _ASOF_NEAREST_ORACLE,
         "lag_lead_events": """
             SELECT event_id, user_id, ts,
                    round(value, 4) AS value,
