@@ -2188,6 +2188,402 @@ SELECT metric, round(value, 6) AS value FROM vals
 """
 
 
+def q_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard token-budget allocation (LLaMA-recipe shape): temperature
+    shares (tau=0.7) of a budget set to 1.5x the corpus mass, so
+    upweighted small sources earn full repeat epochs while big sources
+    subsample — n_repeats per doc is the plan. n_chars stands in for
+    n_tok (any positive weight; the documents table has no token column).
+    Oracle replays mass -> tau-shares -> alloc -> floor/remainder -> the
+    12-hex-digit md5 threshold cut, bit-for-bit."""
+    from taxahfe_spark.tokens import budget_mix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    out = budget_mix(docs, budget_tokens=1.5 * float(total), tau=0.7,
+                     ntok_col="n_chars", seed=42)
+    return out.select("doc_id", "source", F.col("n_repeats").cast("long").alias("n_repeats"))
+
+
+_BUDGET_PLAN_SQL = """
+mass AS (
+  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS m FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(m) AS t FROM mass),
+p AS (SELECT source, m, pow(m / t.t, 0.7) AS q FROM mass CROSS JOIN tot t),
+z AS (SELECT sum(q) AS z FROM p),
+alloc AS (
+  SELECT p.source, p.m, (1.5 * t.t) * p.q / z.z AS a
+  FROM p CROSS JOIN z CROSS JOIN tot t
+),
+plan0 AS (
+  SELECT source, m, floor(a / m) AS fe, round((a - floor(a / m) * m) / m, 9) AS rem
+  FROM alloc
+),
+plan AS (
+  SELECT source,
+         CAST(fe + CASE WHEN rem >= 1.0 THEN 1 ELSE 0 END AS BIGINT) AS fe,
+         CASE WHEN rem >= 1.0 THEN 0.0 ELSE rem END AS rem
+  FROM plan0
+),
+mix AS (
+  SELECT d.doc_id, d.source,
+         pl.fe + CASE
+           WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 1, 12)
+                < printf('%012x', CAST(floor(pl.rem * 281474976710656) AS BIGINT))
+           THEN 1 ELSE 0 END AS n_repeats
+  FROM documents d JOIN plan pl USING (source)
+)
+"""
+
+_BUDGET_MIX_ORACLE = (
+    "WITH " + _BUDGET_PLAN_SQL + "SELECT doc_id, source, n_repeats FROM mix"
+)
+
+
+def q_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """materialize_epochs over the budget_mix plan: one training row per
+    (doc, epoch), epoch in [1, n_repeats] — in-task generate, no shuffle.
+    Oracle expands via generate_series."""
+    from taxahfe_spark.tokens import budget_mix, materialize_epochs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    mixed = budget_mix(docs, budget_tokens=1.5 * float(total), tau=0.7,
+                       ntok_col="n_chars", seed=42)
+    out = materialize_epochs(mixed)
+    return out.select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
+
+
+_BUDGET_EPOCHS_ORACLE = (
+    "WITH " + _BUDGET_PLAN_SQL
+    + """
+SELECT m.doc_id, m.source, CAST(e.epoch AS BIGINT) AS epoch
+FROM mix m CROSS JOIN unnest(generate_series(1, m.n_repeats)) AS e(epoch)
+"""
+)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights + Gumbel keys (target = source 'src0',
+    raw = whole corpus, 512 hashed unigram+bigram buckets, md5 hash lane).
+    The oracle replays feature hashing, both Laplace LMs, the per-doc
+    log-ratio sum, and the Gumbel draw bit-for-bit. (Graft operator —
+    SURVEY LLM-pipeline family: target-aware data selection.)"""
+    from taxahfe_spark.operators.selection import dsir_logweights
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = dsir_logweights(
+        docs, docs.filter("source = 'src0'"), n_buckets=512, seed=11,
+        hash_fn="md5",
+    )
+    return out.select(
+        "doc_id", F.round("logw", 6).alias("logw"),
+        F.round("gumbel_key", 6).alias("gumbel_key"),
+    )
+
+
+_DSIR_ORACLE = """
+WITH dw AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, source, unnest(words) AS f FROM dw
+  UNION ALL
+  SELECT doc_id, source, words[i] || ' ' || words[i + 1] AS f
+  FROM dw CROSS JOIN unnest(generate_series(1, len(words) - 1)) AS t(i)
+),
+fb AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(f), 1, 15))::BIGINT % 512 AS b
+  FROM feats
+),
+tc AS (SELECT b, count(*) AS c FROM fb WHERE source = 'src0' GROUP BY 1),
+rc AS (SELECT b, count(*) AS c FROM fb GROUP BY 1),
+tot AS (
+  SELECT (SELECT coalesce(sum(c), 0) FROM tc) + 512.0 AS tt,
+         (SELECT coalesce(sum(c), 0) FROM rc) + 512.0 AS rt
+),
+lam AS (
+  SELECT rc.b,
+         ln((coalesce(tc.c, 0) + 1) / tot.tt) - ln((rc.c + 1) / tot.rt) AS lam
+  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot
+),
+score AS (
+  SELECT fb.doc_id, sum(lam.lam) AS logw
+  FROM fb JOIN lam USING (b) GROUP BY 1
+),
+keys AS (
+  SELECT d.doc_id, coalesce(s.logw, 0.0) AS logw,
+         coalesce(s.logw, 0.0) - ln(-ln(
+           ((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':11'), 1, 12))::BIGINT)
+            + 0.5) / 281474976710656.0
+         )) AS gumbel_key
+  FROM documents d LEFT JOIN score s USING (doc_id)
+)
+SELECT doc_id, round(logw, 6) AS logw, round(gumbel_key, 6) AS gumbel_key
+FROM keys
+"""
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel top-50 DSIR cut — the actual selection step (sampling without
+    replacement via Gumbel-max), TakeOrderedAndProject plan."""
+    from taxahfe_spark.operators.selection import dsir_logweights, dsir_select
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = dsir_logweights(
+        docs, docs.filter("source = 'src0'"), n_buckets=512, seed=11,
+        hash_fn="md5",
+    )
+    out = dsir_select(scored, k=50)
+    return out.select("doc_id", F.round("gumbel_key", 6).alias("gumbel_key"))
+
+
+_DSIR_SELECT_ORACLE = (
+    _DSIR_ORACLE.replace(
+        "SELECT doc_id, round(logw, 6) AS logw, round(gumbel_key, 6) AS gumbel_key\nFROM keys",
+        "SELECT doc_id, round(gumbel_key, 6) AS gumbel_key FROM keys "
+        "ORDER BY gumbel_key DESC, doc_id ASC LIMIT 50",
+    )
+)
+
+
+# shared CTE prefix: words + the deterministic lexicographic vocab the
+# tokenizer assigns (mirrors _TOKENIZE_ORACLE)
+_DW_VOCAB_SQL = """
+dw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents
+),
+vocab AS (
+  SELECT word, CAST(row_number() OVER (ORDER BY word) - 1 AS BIGINT) AS token_id
+  FROM (SELECT DISTINCT unnest(words) AS word FROM dw)
+),
+ex AS (SELECT doc_id, unnest(words) AS word FROM dw)
+"""
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality score (Jelinek-Mercer lam=0.3, fit on
+    the corpus itself) over the tokenized-sequence shape — the rung above
+    unigram_logprob on the perplexity-proxy ladder. Oracle replays unigram
+    + bigram + left-context counts and the per-position interpolation over
+    words (token ids are word-bijective, so counts are identical)."""
+    from taxahfe_spark.operators.lm import bigram_logprob
+    from taxahfe_spark.tokens import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    seqs = tokenize(docs, "text", "doc_id")
+    out = bigram_logprob(seqs, lam=0.3)
+    return out.select("doc_id", F.col("n_tok").cast("long").alias("n_tok"), "mean_logp")
+
+
+_BIGRAM_LOGPROB_ORACLE = """
+WITH dw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents
+),
+ne AS (SELECT doc_id, words FROM dw WHERE len(words) > 0),
+toks AS (SELECT doc_id, unnest(words) AS w FROM ne),
+uni AS (SELECT w, count(*) AS cu FROM toks GROUP BY 1),
+tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS t FROM uni),
+pairs AS (
+  SELECT doc_id, words[i] AS a, words[i + 1] AS b
+  FROM ne CROSS JOIN unnest(generate_series(1, len(words) - 1)) AS s(i)
+),
+big AS (SELECT a, b, count(*) AS cb FROM pairs GROUP BY 1, 2),
+cleft AS (SELECT a, CAST(sum(cb) AS DOUBLE) AS ca FROM big GROUP BY 1),
+terms AS (
+  SELECT ne.doc_id, ln(CAST(u.cu AS DOUBLE) / tot.t) AS term
+  FROM ne JOIN uni u ON u.w = ne.words[1] CROSS JOIN tot
+  UNION ALL
+  SELECT p.doc_id,
+         ln(0.3 * CAST(u.cu AS DOUBLE) / tot.t
+            + 0.7 * (CAST(bg.cb AS DOUBLE) / cl.ca)) AS term
+  FROM pairs p
+  JOIN uni u ON u.w = p.b
+  JOIN big bg ON bg.a = p.a AND bg.b = p.b
+  JOIN cleft cl ON cl.a = p.a
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, round(avg(term), 6) AS mean_logp
+FROM terms GROUP BY 1
+"""
+
+
+def q_remap_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary pruning + dense re-id (min_count=100 -> UNK 0, survivors
+    ranked by old id). Arrays projected to (n_tok, tok_sum, tok_first,
+    tok_last, n_unk) for the value gate — the per-position remap itself is
+    pinned by the first/last probes plus the sum."""
+    from taxahfe_spark.tokens import remap_tokens, tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    seqs = tokenize(docs, "text", "doc_id")
+    out = remap_tokens(seqs, min_count=100)
+    return out.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, v: a + v).alias("tok_sum"),
+        F.col("tokens")[0].cast("long").alias("tok_first"),
+        F.element_at("tokens", -1).cast("long").alias("tok_last"),
+        F.size(F.filter("tokens", lambda t: t == 0)).cast("long").alias("n_unk"),
+    )
+
+
+_REMAP_ORACLE = (
+    "WITH " + _DW_VOCAB_SQL + """,
+wcount AS (SELECT word, count(*) AS c FROM ex GROUP BY 1),
+kept AS (
+  SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS new_id
+  FROM wcount WHERE c >= 100
+),
+map AS (
+  SELECT w.word, coalesce(k.new_id, 0) AS new_id
+  FROM (SELECT DISTINCT word FROM ex) w LEFT JOIN kept k USING (word)
+),
+per AS (
+  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(m.new_id) AS BIGINT) AS tok_sum,
+         CAST(sum(CASE WHEN m.new_id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+  FROM ex e JOIN map m USING (word) GROUP BY 1
+),
+fl AS (
+  SELECT dw.doc_id, mf.new_id AS tok_first, ml.new_id AS tok_last
+  FROM dw
+  JOIN map mf ON mf.word = dw.words[1]
+  JOIN map ml ON ml.word = dw.words[-1]
+  WHERE len(dw.words) > 0
+)
+SELECT p.doc_id, p.n_tok, p.tok_sum, f.tok_first, f.tok_last, p.n_unk
+FROM per p JOIN fl f USING (doc_id)
+"""
+)
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch token frequencies (4 x 256 grid, md5 hash lane).
+    CMS is deterministic given its hashes, so the oracle replays every
+    lane/bucket cell and the per-token minimum bit-for-bit; the pytest
+    side pins the est >= exact guarantee."""
+    from taxahfe_spark.tokens import cms_token_counts, tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    seqs = tokenize(docs, "text", "doc_id")
+    out = cms_token_counts(seqs, width=256, depth=4, hash_fn="md5")
+    return out.select(
+        F.col("token_id").cast("long").alias("token_id"),
+        F.col("est_count").cast("long").alias("est_count"),
+    )
+
+
+_CMS_ORACLE = (
+    "WITH " + _DW_VOCAB_SQL + """,
+tid AS (SELECT e.doc_id, v.token_id FROM ex e JOIN vocab v USING (word)),
+lanes AS (SELECT unnest([0, 1, 2, 3]) AS lane),
+stream AS (
+  SELECT l.lane,
+         ('0x' || substr(md5(CAST(l.lane AS VARCHAR) || ':'
+                             || CAST(t.token_id AS VARCHAR)), 1, 15))::BIGINT
+           % 256 AS b
+  FROM tid t CROSS JOIN lanes l
+),
+cells AS (SELECT lane, b, count(*) AS c FROM stream GROUP BY 1, 2),
+probes AS (
+  SELECT t.token_id, l.lane,
+         ('0x' || substr(md5(CAST(l.lane AS VARCHAR) || ':'
+                             || CAST(t.token_id AS VARCHAR)), 1, 15))::BIGINT
+           % 256 AS b
+  FROM (SELECT DISTINCT token_id FROM tid) t CROSS JOIN lanes l
+)
+SELECT p.token_id, CAST(min(c.c) AS BIGINT) AS est_count
+FROM probes p JOIN cells c ON c.lane = p.lane AND c.b = p.b
+GROUP BY 1
+"""
+)
+
+
+def q_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour RANGE-frame window features per user over events —
+    the north rule's entity x timestamp rolling feature vector. Value-based
+    frames make timestamp ties layout-invariant in both engines."""
+    from taxahfe_spark.operators.windows import rolling_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_stats(ev, "user_id", "ts", "value", window_seconds=3600)
+    return out.select(
+        "event_id",
+        F.col("w_count").cast("long").alias("w_count"),
+        F.round("w_sum", 6).alias("w_sum"),
+        F.round("w_mean", 6).alias("w_mean"),
+        F.round("w_min", 6).alias("w_min"),
+        F.round("w_max", 6).alias("w_max"),
+    )
+
+
+_ROLLING_ORACLE = """
+SELECT event_id,
+       CAST(count(*) OVER w AS BIGINT) AS w_count,
+       round(sum(value) OVER w, 6) AS w_sum,
+       round(avg(value) OVER w, 6) AS w_mean,
+       round(min(value) OVER w, 6) AS w_min,
+       round(max(value) OVER w, 6) AS w_max
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts
+  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+)
+"""
+
+
+def q_bpe_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE: train 25 merges on the corpus word-count table,
+    encode every document (Python only over the vocab-sized distinct-word
+    frame). The iterative argmax chain is not SQL-expressible, so this
+    query records the weaker rows-only driver check; value-level
+    correctness is carried by tests/test_bpe.py's independent pure-Python
+    dual implementation (train + encode re-derived from scratch)."""
+    from taxahfe_spark.operators.bpe import bpe_encode, bpe_train, word_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(word_counts(docs), num_merges=25)
+    out = bpe_encode(docs, merges)
+    return out.select(
+        "doc_id",
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        F.col("pieces")[0].alias("piece_first"),
+        F.element_at("pieces", -1).alias("piece_last"),
+    )
+
+
+def q_stratified_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum deterministic sample (k=20 per source) — the
+    eval-set construction primitive. Oracle replays the md5 rank cut."""
+    from taxahfe_spark.tokens import stratified_sample_k
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample_k(docs, k=20, seed=42)
+
+
+_STRATIFIED_K_ORACLE = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 12),
+                    doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rk <= 20
+"""
+
+
 _BM25_QUERY = "spark distributed data processing engine"
 
 
@@ -2319,8 +2715,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_docs": q_incremental_dedup,
         "corpus_report_docs": q_corpus_report,
         "holdout_split_docs": q_holdout_split,
+        "budget_mix_docs": q_budget_mix,
+        "budget_epochs_docs": q_budget_epochs,
+        "dsir_weights_docs": q_dsir_weights,
+        "dsir_select_docs": q_dsir_select,
         "bm25_topk_docs": q_bm25_topk,
         "tfidf_weights_docs": q_tfidf_weights,
+        "bigram_logprob_docs": q_bigram_logprob,
+        "remap_tokens_docs": q_remap_tokens,
+        "cms_counts_docs": q_cms_counts,
+        "rolling_events": q_rolling_events,
+        "bpe_pieces_docs": q_bpe_pieces,
+        "stratified_k_docs": q_stratified_k,
     }
 
 
@@ -2582,6 +2988,18 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup_docs": _INCR_DEDUP_ORACLE,
         "corpus_report_docs": _CORPUS_REPORT_ORACLE,
         "holdout_split_docs": _HOLDOUT_ORACLE,
+        "budget_mix_docs": _BUDGET_MIX_ORACLE,
+        "budget_epochs_docs": _BUDGET_EPOCHS_ORACLE,
+        "dsir_weights_docs": _DSIR_ORACLE,
+        "dsir_select_docs": _DSIR_SELECT_ORACLE,
+        "bigram_logprob_docs": _BIGRAM_LOGPROB_ORACLE,
+        "remap_tokens_docs": _REMAP_ORACLE,
+        "cms_counts_docs": _CMS_ORACLE,
+        "rolling_events": _ROLLING_ORACLE,
+        "stratified_k_docs": _STRATIFIED_K_ORACLE,
+        # bpe_pieces_docs: iterative data-dependent argmax chain — not
+        # SQL-expressible; rows-only driver check, value correctness via
+        # tests/test_bpe.py's independent dual implementation
         "bm25_topk_docs": _BM25_ORACLE,
         "tfidf_weights_docs": _TFIDF_ORACLE,
         "minhash_dedup_docs": _minhash_oracle(),

@@ -161,3 +161,49 @@ def per_key_slope(
         F.avg(value).alias("mean_value"),
         F.count(F.lit(1)).alias("n_obs"),
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    keys: str | list[str],
+    ts: str,
+    value: str,
+    window_seconds: float,
+) -> DataFrame:
+    """Trailing event-time window features: for every row, the count / sum /
+    mean / min / max of ``value`` over this key's rows in
+    [ts - window_seconds, ts] (inclusive both ends — RANGE frame semantics,
+    so timestamp ties are all in-frame regardless of partition layout).
+
+    The north rule's entityxtimestamp feature vector in its simplest form:
+    one shuffle on the key, one RANGE-frame window pass, whole-stage
+    codegen, no Python. Frames are value-based (rangeBetween over epoch
+    seconds), so results are deterministic under duplicate timestamps
+    WITHOUT a tiebreaker — every tie sees the same frame.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    # timestamps: EXACT integer microseconds (a double epoch-second loses
+    # sub-us precision at 2^53 and can flip frame membership for rows
+    # exactly window_seconds apart — the oracle's INTERVAL arithmetic is
+    # exact, so ours must be too); numeric ts columns pass through
+    dt = df.schema[ts].dataType.typeName()
+    if dt in ("timestamp", "timestamp_ntz"):
+        tsv = F.unix_micros(F.col(ts).cast("timestamp"))
+        delta: float = int(round(float(window_seconds) * 1e6))
+    else:
+        tsv = F.col(ts).cast("double")
+        delta = float(window_seconds)
+    out = df.withColumn("__tsd", tsv)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__tsd"))
+        .rangeBetween(-delta, 0)
+    )
+    return (
+        out.withColumn("w_count", F.count(F.lit(1)).over(w))
+        .withColumn("w_sum", F.sum(value).over(w))
+        .withColumn("w_mean", F.avg(value).over(w))
+        .withColumn("w_min", F.min(value).over(w))
+        .withColumn("w_max", F.max(value).over(w))
+        .drop("__tsd")
+    )

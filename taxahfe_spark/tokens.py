@@ -825,3 +825,253 @@ def holdout_split(
         .otherwise(F.lit("train"))
     )
     return marked.withColumn("split", split).drop("__pos", "__h", "__eh")
+
+
+def allocate_token_budget(
+    df: DataFrame,
+    budget_tokens: float,
+    shares: dict[str, float] | None = None,
+    tau: float | None = None,
+    source_col: str = "source",
+    ntok_col: str = "n_tok",
+) -> dict[str, tuple[int, float]]:
+    """Hard-token-budget allocation plan: per source, how many FULL epochs
+    plus what partial-epoch keep fraction realize that source's share of
+    ``budget_tokens`` (the LLaMA-recipe shape, where under-sized
+    high-weight sources repeat for multiple epochs while oversized sources
+    are subsampled).
+
+    Target shares come from ``shares`` (explicit weights, normalized over
+    the sources actually present with positive weight), or ``tau``
+    (temperature shares q_s^tau over token mass, as temperature_rates), or
+    natural token-mass proportions when both are None (every source then
+    gets rate budget/total, zero repeats below total).
+
+    Returns {source: (full_epochs, partial_rate)} with
+    full_epochs = floor(alloc_s / mass_s) and partial_rate in [0, 1) chosen
+    so expected sampled tokens hit alloc_s exactly: the partial epoch is a
+    deterministic doc-level hash cut, token-exact in expectation (n_tok is
+    independent of the id hash); exact-token packing is pack_sequences'
+    job downstream. partial_rate is rounded to 9 decimals so the plan
+    survives engine-to-engine float replay (same discipline as
+    temperature_rates).
+
+    One groupBy over a source-cardinality frame, collected driver-side —
+    the plan becomes literals in the sampling projection.
+    """
+    stats = df.groupBy(source_col).agg(F.sum(ntok_col).alias("__m")).collect()
+    mass = {r[source_col]: float(r["__m"]) for r in stats if r["__m"]}
+    srcs = sorted(mass)
+    if not srcs:
+        return {}
+    tot = sum(mass[s] for s in srcs)
+    if shares is not None:
+        p = {s: float(shares.get(s, 0.0)) for s in srcs}
+    elif tau is not None:
+        p = {s: (mass[s] / tot) ** tau for s in srcs}
+    else:
+        p = {s: mass[s] / tot for s in srcs}
+    z = sum(p.values())
+    if z <= 0:
+        raise ValueError("no source has positive share")
+    plan: dict[str, tuple[int, float]] = {}
+    for s in srcs:
+        alloc = float(budget_tokens) * p[s] / z
+        full = int(alloc // mass[s])
+        rem = round((alloc - full * mass[s]) / mass[s], 9)
+        if rem >= 1.0:  # guard the round-up edge: fold into a full epoch
+            full, rem = full + 1, 0.0
+        plan[s] = (full, rem)
+    return plan
+
+
+def _hash12_u(id_col: str, seed: int) -> F.Column:
+    """First 12 hex chars of md5(id:seed) — a deterministic uniform draw
+    with 16^-12 granularity, comparable as a plain string against a
+    12-hex-digit threshold in ANY md5-capable engine."""
+    return F.substring(
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))), 1, 12
+    )
+
+
+def _hex12_threshold(rate: float) -> str:
+    return format(int(rate * (16 ** 12)), "012x")
+
+
+def budget_mix(
+    df: DataFrame,
+    budget_tokens: float,
+    shares: dict[str, float] | None = None,
+    tau: float | None = None,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    ntok_col: str = "n_tok",
+    seed: int = 42,
+) -> DataFrame:
+    """Apply an allocate_token_budget plan: adds ``n_repeats`` (how many
+    times this document appears in the training mix; 0 = dropped).
+
+    n_repeats = full_epochs(source) + 1{u(id) < partial_rate(source)} with
+    u the md5 12-hex-digit draw — a pure projection over the scan: NO
+    window, NO shuffle, layout-invariant, and replayed bit-for-bit by the
+    SQL oracle via the same hex-string comparison. Compose with
+    ``materialize_epochs`` to expand into per-epoch training rows and
+    epoch_shuffle for the global order.
+    """
+    plan = allocate_token_budget(
+        df, budget_tokens, shares=shares, tau=tau,
+        source_col=source_col, ntok_col=ntok_col,
+    )
+    full_col = F.lit(0)
+    thr_col = F.lit("000000000000")
+    for s, (full, rem) in sorted(plan.items()):
+        full_col = F.when(F.col(source_col) == s, full).otherwise(full_col)
+        thr_col = F.when(
+            F.col(source_col) == s, F.lit(_hex12_threshold(rem))
+        ).otherwise(thr_col)
+    extra = (_hash12_u(id_col, seed) < thr_col).cast("int")
+    return df.withColumn("n_repeats", (full_col + extra).cast("int"))
+
+
+def stratified_sample_k(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """EXACTLY min(k, |stratum|) rows per stratum (vs sample_by_source's
+    rate-based expectation): rank rows within each stratum by the
+    deterministic md5 12-hex draw of (id, seed) and keep rank <= k — the
+    eval-set / few-shot-pool construction primitive where per-bucket counts
+    must be exact, not expected.
+
+    One shuffle (the per-stratum rank window, partitioned by stratum — NOT
+    a global sort); ties impossible up to md5 collisions, broken by id.
+    Deterministic in (id, seed) and partition-layout-invariant; any
+    md5-capable engine replays the same cut.
+    """
+    u = _hash12_u(id_col, seed)
+    w = Window.partitionBy(strata_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def remap_tokens(
+    seqs: DataFrame,
+    min_count: int = 2,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    unk_id: int = 0,
+    small_vocab: int = 1 << 18,
+) -> DataFrame:
+    """Vocabulary pruning + dense re-id: tokens occurring fewer than
+    ``min_count`` times corpus-wide fold to ``unk_id``; surviving tokens
+    get NEW dense ids 1..K assigned by ascending OLD id (so any engine
+    ranking the same kept set assigns the same ids — the build_vocab
+    determinism contract). Returns (id_col, tokens array<int>, n_tok) with
+    n_tok preserved (remapping never drops positions).
+
+    Scale shape: the old->new map is vocab-sized by definition (the
+    count-gated one-task ranking window carries build_vocab's bounded-by-
+    construction justification); arrays are rebuilt by the tokenize idiom
+    — posexplode -> broadcast map join -> array_sort((pos, id)) collect —
+    so the only shuffle keys are (doc, pos, id) scalars, never arrays.
+    """
+    tok = seqs.select(F.col(id_col).alias("__id"), F.posexplode(tokens_col).alias("__pos", "__t"))
+    counts = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    kept = counts.filter(F.col("__c") >= min_count).select("__t").persist()
+    n_kept = kept.count()
+    if n_kept > small_vocab:
+        raise ValueError(
+            f"{n_kept} kept ids exceed the one-task ranking gate ({small_vocab}); "
+            "raise min_count or extend with the build_vocab prefix ranking"
+        )
+    # gate above proves <= small_vocab rows reach this one-task sort
+    w = Window.orderBy("__t")
+    idmap = kept.select("__t", F.row_number().over(w).cast("int").alias("__new"))
+    remapped = tok.join(F.broadcast(idmap), "__t", "left").withColumn(
+        "__new", F.coalesce("__new", F.lit(unk_id).cast("int"))
+    )
+    return (
+        remapped.groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col("__new")))
+            ).alias("_pt")
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.transform("_pt", lambda s: s["__new"]).alias(tokens_col),
+            F.size("_pt").cast("int").alias("n_tok"),
+        )
+    )
+
+
+def cms_token_counts(
+    seqs: DataFrame,
+    width: int = 1 << 12,
+    depth: int = 4,
+    tokens_col: str = "tokens",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Count-min-sketch token frequencies: estimate every distinct token's
+    corpus count from a depth x width counter grid instead of a
+    vocab-sized exact table. Returns (token_id int, est_count long) with
+    the CMS guarantee est_count >= exact count (overestimates only, from
+    bucket collisions).
+
+    Why at 10^12 sequences: the sketch state is depth*width counters —
+    KILOBYTES, independent of vocabulary size — built by ONE map-side-
+    combinable groupBy over the exploded (lane, bucket) stream; it is the
+    mergeable-across-partitions / across-days summary structure (stream
+    batches union into the same grid by simple addition). The estimation
+    join probes the broadcast grid. ``hash_fn='md5'`` swaps xxhash64 for
+    the engine-portable md5_hash60 lane so a SQL oracle replays every
+    bucket id and minimum bit-for-bit (the minhash_signatures idiom).
+    """
+    from taxahfe_spark.operators.dedup import md5_hash60
+
+    tok = seqs.select(F.explode(tokens_col).alias("__t"))
+    lanes = tok.select(
+        "__t", F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("__lane")
+    )
+    key = F.concat_ws(":", F.col("__lane").cast("string"), F.col("__t").cast("string"))
+    if hash_fn == "md5":
+        bucket = F.pmod(md5_hash60(key), F.lit(width))
+    else:
+        bucket = F.pmod(F.xxhash64(key), F.lit(width))
+    cells = (
+        lanes.withColumn("__b", bucket)
+        .groupBy("__lane", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    probes = tok.distinct().select(
+        "__t", F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("__lane")
+    ).withColumn("__b", bucket)
+    return (
+        probes.join(F.broadcast(cells), ["__lane", "__b"], "inner")
+        .groupBy("__t")
+        .agg(F.min("__c").alias("est_count"))
+        .select(F.col("__t").alias("token_id"), "est_count")
+    )
+
+
+def materialize_epochs(
+    mixed: DataFrame,
+    repeats_col: str = "n_repeats",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Expand a budget_mix plan into actual training rows: one row per
+    (document, epoch) with epoch in [1, n_repeats]. In-task generate
+    (posexplode of a sequence) — no shuffle; rows with 0 repeats vanish."""
+    return (
+        mixed.filter(F.col(repeats_col) > 0)
+        .withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(1), F.col(repeats_col))),
+        )
+    )

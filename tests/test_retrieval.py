@@ -109,3 +109,51 @@ def test_bm25_plan_shape(spark):
         for r in bm25_topk(df, "spark data", k=2).collect()
     }
     assert lazy == eager
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Importance log-weights rank target-like raw docs above off-domain
+    ones; zero-word docs score exactly 0; the whole thing is deterministic
+    in (id, seed)."""
+    from taxahfe_spark.operators.selection import dsir_logweights, dsir_select
+
+    target_rows = [(100 + i, f"spark engine shuffle partition executor task stage {i}")
+                   for i in range(6)]
+    raw_rows = [
+        (1, "spark executor shuffle stage partition engine"),
+        (2, "spark engine task stage executor"),
+        (3, "cats dogs birds fish hamsters turtles"),
+        (4, "recipe flour sugar butter oven bake"),
+        (5, "!!! ..."),
+    ]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(target_rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dsir_logweights(raw, tgt, n_buckets=256, seed=3).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[5]["logw"] == 0.0
+    assert min(got[1]["logw"], got[2]["logw"]) > max(got[3]["logw"], got[4]["logw"])
+    again = {r["doc_id"]: r["gumbel_key"] for r in
+             dsir_logweights(raw, tgt, n_buckets=256, seed=3).collect()}
+    assert again == {d: r["gumbel_key"] for d, r in got.items()}
+    # md5 lane agrees on the ORDER preference (bucket ids differ, ranking holds)
+    md5got = {r["doc_id"]: r["logw"] for r in
+              dsir_logweights(raw, tgt, n_buckets=256, seed=3, hash_fn="md5").collect()}
+    assert min(md5got[1], md5got[2]) > max(md5got[3], md5got[4])
+    sel = dsir_select(
+        dsir_logweights(raw, tgt, n_buckets=256, seed=3), k=2)
+    assert sel.count() == 2
+
+
+def test_dsir_plan_no_python_and_broadcast_lam(spark):
+    """Scoring joins the exploded feature stream against the BROADCAST
+    bucket log-ratio frame — no Python, no shuffle of text."""
+    from taxahfe_spark.operators.selection import dsir_logweights
+
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string")
+    out = dsir_logweights(raw, raw, n_buckets=64, seed=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan

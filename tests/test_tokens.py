@@ -374,3 +374,140 @@ def test_holdout_split_shuffle_fallback_matches_broadcast(spark):
         for r in holdout_split(df, frac=0.1, seed=5, eval_broadcast_max=0).collect()
     }
     assert a == b
+
+
+def test_allocate_token_budget_plan(spark):
+    """Plan math: natural shares give uniform rate and zero repeats below
+    total mass; temperature shares with budget > mass earn full epochs on
+    upweighted small sources; expected tokens hit the allocation."""
+    from taxahfe_spark.tokens import allocate_token_budget
+
+    rows = (
+        [(i, "big", 100) for i in range(90)]
+        + [(1000 + i, "small", 100) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    # natural shares, half budget: every source rate 0.5, no repeats
+    plan = allocate_token_budget(df, budget_tokens=5000)
+    assert plan == {"big": (0, 0.5), "small": (0, 0.5)}
+    # uniform shares (tau=0): each source gets 5000 tokens; small has only
+    # 1000 -> 5 full epochs; big subsamples at 5000/9000
+    plan = allocate_token_budget(df, budget_tokens=10000, tau=0.0)
+    assert plan["small"] == (5, 0.0)
+    fe, rem = plan["big"]
+    assert fe == 0 and abs(rem - 5000 / 9000) < 1e-9
+    # explicit shares: a source absent from shares gets zero
+    plan = allocate_token_budget(df, budget_tokens=900, shares={"big": 1.0})
+    assert plan["big"] == (0, 0.1) and plan["small"] == (0, 0.0)
+
+
+def test_budget_mix_and_epochs(spark):
+    from pyspark.sql import functions as F
+
+    from taxahfe_spark.tokens import budget_mix, materialize_epochs
+
+    rows = (
+        [(i, "big", 100) for i in range(90)]
+        + [(1000 + i, "small", 100) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    mixed = budget_mix(df, budget_tokens=10000, tau=0.0, seed=7)
+    got = {r["doc_id"]: r["n_repeats"] for r in mixed.collect()}
+    assert all(got[1000 + i] == 5 for i in range(10))  # 5 exact epochs
+    big = [got[i] for i in range(90)]
+    assert set(big) <= {0, 1}
+    # hash cut keeps roughly rate * n of the big source (deterministic count)
+    kept = sum(big)
+    assert 0 < kept < 90
+    # determinism in (id, seed)
+    again = {r["doc_id"]: r["n_repeats"] for r in budget_mix(
+        df, budget_tokens=10000, tau=0.0, seed=7).collect()}
+    assert again == got
+    # epochs expand exactly n_repeats times, 1-based
+    ep = materialize_epochs(mixed)
+    cnt = {r["doc_id"]: r["cnt"] for r in
+           ep.groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for d, nrep in got.items():
+        assert cnt.get(d, 0) == nrep
+    assert ep.filter("epoch < 1").count() == 0
+    assert ep.agg(F.max("epoch")).collect()[0][0] == 5
+
+
+def test_remap_tokens(spark):
+    from taxahfe_spark.tokens import remap_tokens
+
+    rows = [
+        (1, [10, 20, 10, 30]),
+        (2, [20, 10, 40]),
+        (3, [40]),
+        (4, []),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    # counts: 10->3, 20->2, 30->1, 40->2; min_count=2 keeps {10,20,40}
+    # new ids by ascending old id: 10->1, 20->2, 40->3; 30 -> unk 0
+    out = {r["doc_id"]: (list(r["tokens"]), r["n_tok"])
+           for r in remap_tokens(df, min_count=2).collect()}
+    assert out[1] == ([1, 2, 1, 0], 4)
+    assert out[2] == ([2, 1, 3], 3)
+    assert out[3] == ([3], 1)
+    # empty doc emits no exploded rows -> absent (groupBy over explode)
+    assert 4 not in out
+    # custom unk id
+    out2 = {r["doc_id"]: list(r["tokens"])
+            for r in remap_tokens(df, min_count=2, unk_id=-1).collect()}
+    assert out2[1] == [1, 2, 1, -1]
+    # gate raises above the one-task window budget
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        remap_tokens(df, min_count=1, small_vocab=2)
+
+
+def test_cms_token_counts_overestimates_only_and_exact_when_wide(spark):
+    from pyspark.sql import functions as F
+
+    from taxahfe_spark.tokens import cms_token_counts
+
+    rows = [(i, [i % 7, (i * 3) % 7, 99]) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    exact = {
+        r["__t"]: r["c"]
+        for r in df.select(F.explode("tokens").alias("__t"))
+        .groupBy("__t").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    # narrow sketch: CMS property est >= exact for every token
+    est = {r["token_id"]: r["est_count"]
+           for r in cms_token_counts(df, width=8, depth=3).collect()}
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in exact)
+    # wide sketch: no collisions at 8 distinct tokens -> exact
+    est_w = {r["token_id"]: r["est_count"]
+             for r in cms_token_counts(df, width=1 << 12, depth=4).collect()}
+    assert est_w == exact
+    # md5 lane agrees with the property too (oracle lane)
+    est_m = {r["token_id"]: r["est_count"]
+             for r in cms_token_counts(df, width=64, depth=4, hash_fn="md5").collect()}
+    assert all(est_m[t] >= exact[t] for t in exact)
+
+
+def test_stratified_sample_k_exact_counts_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from taxahfe_spark.tokens import stratified_sample_k
+
+    rows = [(i, "a" if i < 50 else ("b" if i < 58 else "c")) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample_k(df, k=10, seed=1)
+    cnt = {r["source"]: r["c"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()}
+    # exactly min(k, |stratum|): a has 50 -> 10, b has 8 -> 8, c has 2 -> 2
+    assert cnt == {"a": 10, "b": 8, "c": 2}
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in stratified_sample_k(df, k=10, seed=1).collect())
+    assert a == b
+    c = sorted(r["doc_id"] for r in stratified_sample_k(df, k=10, seed=2).collect())
+    assert a != c  # seed moves the cut
+    # layout invariance
+    d = sorted(r["doc_id"] for r in
+               stratified_sample_k(df.repartition(7), k=10, seed=1).collect())
+    assert a == d

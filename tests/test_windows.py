@@ -98,3 +98,46 @@ def test_per_key_slope(events):
         expect = 0.0 if len(g) < 2 or t.std() == 0 else np.polyfit(t, v, 1)[0]
         gotv = got.loc[got["user_id"] == uid, "slope"].iloc[0]
         assert gotv == pytest.approx(expect, rel=1e-6, abs=1e-9)
+
+
+def test_rolling_stats_matches_pandas(spark):
+    import pandas as pd
+
+    from taxahfe_spark.operators.windows import rolling_stats
+
+    rows = []
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    import random
+
+    rng = random.Random(7)
+    for u in (1, 2):
+        for i in range(40):
+            rows.append((u, base + pd.Timedelta(seconds=rng.randint(0, 600)),
+                         float(rng.randint(0, 100))))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    df = spark.createDataFrame(pdf)
+    got = rolling_stats(df, "user_id", "ts", "value", window_seconds=120).toPandas()
+    # pandas replay: value-based trailing frame, ties all included
+    for _, r in got.iterrows():
+        m = pdf[(pdf.user_id == r.user_id)
+                & (pdf.ts >= r.ts - pd.Timedelta(seconds=120))
+                & (pdf.ts <= r.ts)]
+        assert r.w_count == len(m)
+        assert abs(r.w_sum - m.value.sum()) < 1e-9
+        assert abs(r.w_mean - m.value.mean()) < 1e-9
+        assert r.w_min == m.value.min() and r.w_max == m.value.max()
+
+
+def test_rolling_stats_plan_single_exchange(spark):
+    import re
+
+    import pandas as pd
+
+    from taxahfe_spark.operators.windows import rolling_stats
+
+    pdf = pd.DataFrame({"user_id": [1, 2], "ts": [pd.Timestamp("2024-01-01")] * 2,
+                        "value": [1.0, 2.0]})
+    out = rolling_stats(spark.createDataFrame(pdf), "user_id", "ts", "value", 60)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan

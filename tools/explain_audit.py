@@ -235,6 +235,93 @@ def main() -> None:
         ],
     )
 
+    # 12. round-7 operators: retrieval top-k is a per-partition heap cut;
+    #     budget_mix is a pure projection (zero Exchange above the scan);
+    #     DSIR scoring joins the broadcast bucket-LM frame, no Python
+    from taxahfe_spark.operators.retrieval import bm25_topk
+    from taxahfe_spark.operators.selection import dsir_logweights
+    from taxahfe_spark.tokens import budget_mix
+
+    p = plan(bm25_topk(docs, "spark data engine", k=10, materialize=False))
+    check(
+        "bm25_topk: TakeOrderedAndProject cut, no Python in the hot path",
+        "TakeOrderedAndProject" in p
+        and "BatchEvalPython" not in p
+        and "mapInPandas" not in p,
+    )
+    p = plan(
+        budget_mix(
+            docs.select("doc_id", "source", "n_chars"),
+            budget_tokens=1e6, tau=0.7, ntok_col="n_chars",
+        )
+    )
+    check(
+        "budget_mix: pure projection — zero Exchange, zero Window, no Python",
+        "Exchange" not in p and "Window" not in p and "BatchEvalPython" not in p,
+    )
+    p = plan(
+        dsir_logweights(
+            docs.select("doc_id", "text"),
+            docs.select("doc_id", "text").limit(50),
+            n_buckets=256,
+        )
+    )
+    check(
+        "dsir_logweights: broadcast bucket-LM join, no Python, no text in "
+        "exchange keys",
+        "BroadcastHashJoin" in p
+        and "BatchEvalPython" not in p
+        and not [
+            k
+            for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+            if "text#" in k
+        ],
+    )
+
+    # 13. round-7 second wave: bigram LM shuffles carry no arrays; the BPE
+    #     merge fold is built-ins only; rolling_stats is ONE Exchange; CMS
+    #     probes the broadcast cell grid
+    from taxahfe_spark.operators.bpe import _char_syms, _merge_fold, word_counts
+    from taxahfe_spark.operators.lm import bigram_logprob
+    from taxahfe_spark.operators.windows import rolling_stats
+    from taxahfe_spark.tokens import cms_token_counts, tokenize
+
+    seqs = tokenize(docs.limit(200), "text", "doc_id")
+    p = plan(bigram_logprob(seqs))
+    check(
+        "bigram_logprob: no Python, no token arrays in exchange keys",
+        "BatchEvalPython" not in p
+        and "mapInPandas" not in p
+        and not [
+            k
+            for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+            if "__tk#" in k or "tokens#" in k
+        ],
+    )
+    cur = word_counts(docs).select("count", _char_syms("word").alias("syms"))
+    p = plan(cur.withColumn("syms", _merge_fold(F.col("syms"), "a", "b")))
+    check(
+        "bpe merge step: in-task fold, zero Python eval",
+        "BatchEvalPython" not in p and "PythonUDF" not in p,
+    )
+    p = plan(rolling_stats(ev, "user_id", "ts", "value", 3600))
+    check(
+        "rolling_stats: exactly one Exchange, no Python",
+        len(re.findall(r"Exchange hashpartitioning", p)) == 1
+        and "BatchEvalPython" not in p,
+    )
+    p = plan(cms_token_counts(seqs, width=256, depth=4))
+    check(
+        "cms_token_counts: broadcast cell-grid probe, no arrays in "
+        "exchange keys",
+        "BroadcastHashJoin" in p
+        and not [
+            k
+            for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+            if "tokens#" in k
+        ],
+    )
+
     spark.stop()
     if failures:
         print(f"\n{len(failures)} plan properties FAILED: {failures}")
