@@ -481,6 +481,45 @@ def _run_group(
     return out_paths, out_corr, out_imp
 
 
+# driver-local fused-stage context: set by _run_stage_local immediately
+# before the fork pool spins up, inherited by children via copy-on-write
+# (never pickled), cleared in a finally. One slot — stages never overlap.
+_LOCAL_STAGE_CTX: list = [None]
+
+
+def _local_stage_worker(task):
+    """One (competition x chunk-range) on the driver pool — the local twin
+    of make_broadcast_stage_udf's per-row body (same _run_group call, same
+    seeds, bit-identical output)."""
+    key, parent, names, lo, hi = task
+    vecs, label, cov, re_ind, re_time, remap, params = _LOCAL_STAGE_CTX[0]
+    n_entities = len(label)
+    paths, corrs, imps = _run_group(
+        parent, names,
+        lambda n: _to_dense(*vecs[n], n_entities, remap),
+        lo, hi, label, cov, re_ind, re_time, params,
+        emit_corr=lo == 0, memo_key=None,
+    )
+    return key, lo, paths, corrs, imps
+
+
+def _collect_vectors_arrow(vectors: DataFrame) -> dict:
+    """(path, idxs, vals) frame -> {path: (int32 idxs, float64 vals)} via one
+    Arrow transfer (flat buffer slices, no per-element deserialization)."""
+    tbl = vectors.select("path", "idxs", "vals").toArrow()
+    paths = tbl.column("path").to_pylist()
+    idxs_col = tbl.column("idxs").combine_chunks()
+    vals_col = tbl.column("vals").combine_chunks()
+    off_i = idxs_col.offsets.to_numpy()
+    flat_i = idxs_col.values.to_numpy().astype(np.int32, copy=False)
+    off_v = vals_col.offsets.to_numpy()
+    flat_v = vals_col.values.to_numpy()
+    return {
+        p: (flat_i[off_i[i]: off_i[i + 1]], flat_v[off_v[i]: off_v[i + 1]])
+        for i, p in enumerate(paths)
+    }
+
+
 # per-run memo-identity tokens (driver-side counter + pid; Broadcast has no
 # worker-visible id). A token is unique per TreeCompetition instance, so a
 # _DESIGN_MEMO entry can never cross runs.
@@ -610,6 +649,7 @@ class TreeCompetition:
         self.spark = vectors.sparkSession
         self.params = params
         self._memo_token = _next_run_token()
+        self._local_pool = None  # driver-local stage pool (see _run_stage)
         # design_sample_frac < 1: seeded hash subsample of entity POSITIONS,
         # applied to label/cov/RE arrays here and to every sparse vector at
         # densify time via the remap (see CompetitionParams docstring). A
@@ -665,15 +705,13 @@ class TreeCompetition:
             # explicitly so every stage ships only assignment rows. Stored as
             # NUMPY arrays: a dict of Python int lists measured 13s PER
             # UNPICKLE on executors; numpy buffers deserialize at memory speed.
-            vec_rows = vectors.collect()
+            # Collected via toArrow(), not collect(): Row deserialization of
+            # ~10^6 array elements is per-object Python work (measured 0.7 s
+            # at the sf0.1 flagship's 949k nnz), while the Arrow list columns
+            # expose flat values+offsets buffers that slice into numpy with
+            # no per-element cost (0.15 s same shape).
             self.bc_vectors = self.spark.sparkContext.broadcast(
-                {
-                    r["path"]: (
-                        np.asarray(r["idxs"], dtype=np.int32),
-                        np.asarray(r["vals"], dtype=np.float64),
-                    )
-                    for r in vec_rows
-                }
+                _collect_vectors_arrow(vectors)
             )
             if params.vector_strategy == "auto":
                 vectors.unpersist()
@@ -805,19 +843,22 @@ class TreeCompetition:
         p = self.params
         done = self._load_progress(resume_dir) if resume_dir else []
         levels = sorted({n.level for n in self.nodes.values()}, reverse=True)
-        for lvl in levels:
-            if lvl > p.max_level or lvl < p.lowest_level:
-                continue
-            if lvl in done:
-                continue
-            self._compete_level(lvl)
-            if resume_dir:
-                self._save_progress(resume_dir, done := done + [lvl])
-        if not p.disable_super_filter and p.competition_mode == "full":
-            if "super" not in done:
-                self._super_filter()
+        try:
+            for lvl in levels:
+                if lvl > p.max_level or lvl < p.lowest_level:
+                    continue
+                if lvl in done:
+                    continue
+                self._compete_level(lvl)
                 if resume_dir:
-                    self._save_progress(resume_dir, done + ["super"])
+                    self._save_progress(resume_dir, done := done + [lvl])
+            if not p.disable_super_filter and p.competition_mode == "full":
+                if "super" not in done:
+                    self._super_filter()
+                    if resume_dir:
+                        self._save_progress(resume_dir, done + ["super"])
+        finally:
+            self._close_local_pool()
         if self.strategy == "shuffle":
             self.vectors.unpersist()
         return self.state_frame()
@@ -841,6 +882,17 @@ class TreeCompetition:
         step = (n_chunks + per_comp - 1) // per_comp
         return [(lo, min(lo + step, n_chunks)) for lo in range(0, n_chunks, step)]
 
+    def _driver_stage_cells(
+        self, comps: dict[str, tuple[str | None, list[str]]], n_chunks: int
+    ) -> int:
+        """Work proxy for the fused stage: design cells x fits summed over
+        competitions (n_entities x competitors x chunk fits)."""
+        n_entities = len(self.label)
+        return sum(
+            n_chunks * n_entities * (len(paths) + 1)
+            for (_parent, paths) in comps.values()
+        )
+
     def _run_stage(
         self,
         comps: dict[str, tuple[str | None, list[str]]],
@@ -849,8 +901,30 @@ class TreeCompetition:
         """comps: key -> (parent_path | None, competitor paths). Runs the
         fused corr+RF stage; returns (corrs, importances) keyed by
         competition key -> {path: value}. Importances are averaged over
-        n_chunks fits."""
+        n_chunks fits.
+
+        Small stages run DRIVER-LOCAL (multiprocessing fork pool) when the
+        vectors are already on the driver (broadcast strategy) and the total
+        design work is below ``TAXAHFE_DRIVER_STAGE_MAX_CELLS`` (env,
+        default 64e6 entityxcompetitorxfit cells): a megabyte-scale stage
+        pays more in Spark scheduling + exchanges (~1 s/stage measured at
+        sf0.1) than in compute, the same size-gated driver fast-path rule as
+        dietml's small-n CV. Results are bit-identical: _run_group is a pure
+        function of (inputs, seeds) and partial sums reduce in chunk order
+        on both paths; cluster-scale inputs always take the Spark path (the
+        gate scales with n_entities, so it closes itself at scale)."""
         ranges = self._chunk_ranges(len(comps), n_chunks)
+        if (
+            self.strategy == "broadcast"
+            and self._driver_stage_cells(comps, n_chunks)
+            <= int(
+                os.environ.get("TAXAHFE_DRIVER_STAGE_MAX_CELLS", "64000000")
+            )
+        ):
+            try:
+                return self._run_stage_local(comps, ranges, n_chunks)
+            except (ImportError, OSError) as e:  # no fork / pool failure
+                _tlog(f"driver-local stage unavailable ({e}); Spark path")
         # "\x1f" separates the competition key from the chunk-range suffix —
         # a control char that cannot appear in taxonomy paths, so the
         # Spark-side substring_index split-back is unambiguous
@@ -937,6 +1011,83 @@ class TreeCompetition:
                 for _, v in parts:
                     total += v
                 imps.setdefault(r["key"], {})[r["path"]] = total / n_chunks
+        return corrs, imps
+
+    def _ensure_local_ctx(self) -> None:
+        label, cov, re_ind, re_time, remap = self.bc_ctx.value
+        _LOCAL_STAGE_CTX[0] = (
+            self.bc_vectors.value, label, cov, re_ind, re_time, remap,
+            self.params,
+        )
+
+    def _close_local_pool(self) -> None:
+        if self._local_pool is not None:
+            self._local_pool.terminate()
+            self._local_pool.join()
+            self._local_pool = None
+        _LOCAL_STAGE_CTX[0] = None
+
+    def _run_stage_local(
+        self,
+        comps: dict[str, tuple[str | None, list[str]]],
+        ranges: list[tuple[int, int]],
+        n_chunks: int,
+    ) -> tuple[dict[str, dict[str, float]], dict[str, dict[str, float]]]:
+        """Driver-local fused stage: same (competition x chunk-range) task
+        list as the Spark path, run on a fork pool. The fork children
+        inherit the vector dict and design context by COW memory — zero
+        serialization, no Spark jobs. Reduction is identical to the Spark
+        path: per-range partials sorted by chunk_lo and summed in chunk
+        order, NaN corr masked to absent."""
+        import multiprocessing as mp
+
+        t0 = time.time()
+        tasks = []
+        for key, (parent, paths) in comps.items():
+            names = ([parent] if parent else []) + sorted(
+                p for p in paths if p != parent
+            )
+            for lo, hi in ranges:
+                tasks.append((key, parent, names, lo, hi))
+        if len(tasks) == 1:
+            self._ensure_local_ctx()
+            try:
+                results = [_local_stage_worker(tasks[0])]
+            finally:
+                if self._local_pool is None:
+                    _LOCAL_STAGE_CTX[0] = None
+        else:
+            # ONE fork pool per run, created at the first local stage and
+            # closed in run(): 20-30 forks of a driver holding the vector
+            # dict measured ~0.5 s — paid once, not per level. The ctx is
+            # stage-invariant (vectors + design arrays + params), so a pool
+            # forked at stage 1 serves every later stage unchanged.
+            if self._local_pool is None:
+                self._ensure_local_ctx()
+                procs = min(
+                    max(len(tasks), 8),
+                    self.spark.sparkContext.defaultParallelism,
+                )
+                self._local_pool = mp.get_context("fork").Pool(procs)
+            results = self._local_pool.map(_local_stage_worker, tasks)
+        corrs: dict[str, dict[str, float]] = {}
+        parts: dict[tuple[str, str], list[tuple[int, float]]] = {}
+        for key, lo, r_paths, r_corrs, r_imps in results:
+            for pth, c, v in zip(r_paths, r_corrs, r_imps):
+                if c is not None and not np.isnan(c):
+                    corrs.setdefault(key, {})[pth] = float(c)
+                if v is not None and not np.isnan(v):
+                    parts.setdefault((key, pth), []).append((lo, float(v)))
+        imps: dict[str, dict[str, float]] = {}
+        for (key, pth), pl in parts.items():
+            total = 0.0
+            for _, v in sorted(pl):
+                total += v
+            imps.setdefault(key, {})[pth] = total / n_chunks
+        _tlog(
+            f"fused stage [driver-local]: {len(comps)} comps x {n_chunks} "
+            f"chunks in {len(tasks)} tasks, {time.time()-t0:.2f}s"
+        )
         return corrs, imps
 
     # -- level competition ---------------------------------------------------

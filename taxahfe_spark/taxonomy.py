@@ -128,32 +128,74 @@ def hierarchical_rollup(
     localCheckpoint per level to truncate lineage (mandatory for deep trees —
     otherwise the plan grows O(depth) and re-executes on every action).
     """
-    path_col = clean_value_col("clade_name") if clean_paths else F.col("clade_name")
-    observed = (
-        long_df.select(
-            path_col.alias("path"),
-            F.col("entity_id").cast("string").alias("entity_id"),
-            F.col("value").cast("double").alias("value"),
-        )
-        .withColumn("level", path_level("path"))
-        # COLUMNAR cache, deliberately not localCheckpoint: the frame is
-        # re-sliced once per level (filter level == lvl) and the in-memory
-        # columnar relation serves those with stats-based batch pruning;
-        # checkpoint blocks are row-format and rescan everything (measured
-        # 3.6x slower end-to-end). Callers that materialize the result can
-        # release it via the attached `_taxahfe_scratch` handle (taxa_hfe
-        # does); one cached input frame is the cost for direct callers.
-        .persist()
-    )
-
-    # distinct observed paths per level — tiny, broadcast into anti-joins.
-    # ONE action: max_level falls out of the same collect (a separate
-    # agg(max) paid a full extra scan of the cached join per run)
     spark = long_df.sparkSession
+    import os as _os, sys as _sys, time as _time
+    _t0 = _time.time()
+    if clean_paths:
+        # The janitor-style clean regex is data-INVARIANT per distinct path,
+        # and distinct paths are taxonomy-sized by contract (<= ~1e5) while
+        # the long frame is data-sized — so clean the DISTINCT paths once
+        # and re-attach via a broadcast join instead of running two regex
+        # passes over every row (measured 2.7 s of pure regexp_replace at
+        # sf0.1's 587k rows vs ~0 on the 1000-row distinct frame). The
+        # distinct collect below doubles as the obs_paths_by_level source,
+        # so no separate (path, level) distinct job runs at all.
+        base = (
+            long_df.select(
+                F.col("clade_name").cast("string").alias("__raw"),
+                F.col("entity_id").cast("string").alias("entity_id"),
+                F.col("value").cast("double").alias("value"),
+            )
+            # COLUMNAR cache (see the clean_paths=False branch note)
+            .persist()
+        )
+        map_df = (
+            base.select("__raw")
+            .distinct()
+            .select(
+                "__raw",
+                clean_value_col("__raw").alias("path"),
+                path_level(clean_value_col("__raw")).alias("level"),
+            )
+        )
+        map_rows = map_df.collect()  # taxonomy-sized; materializes the cache
+        obs_pairs = {(r["path"], r["level"]) for r in map_rows}
+        observed = base.join(F.broadcast(map_df), "__raw").select(
+            "path", "entity_id", "value", "level"
+        )
+        scratch = base
+    else:
+        observed = (
+            long_df.select(
+                F.col("clade_name").cast("string").alias("path"),
+                F.col("entity_id").cast("string").alias("entity_id"),
+                F.col("value").cast("double").alias("value"),
+            )
+            .withColumn("level", path_level("path"))
+            # COLUMNAR cache, deliberately not localCheckpoint: the frame is
+            # re-sliced once per level (filter level == lvl) and the in-memory
+            # columnar relation serves those with stats-based batch pruning;
+            # checkpoint blocks are row-format and rescan everything (measured
+            # 3.6x slower end-to-end). Callers that materialize the result can
+            # release it via the attached `_taxahfe_scratch` handle (taxa_hfe
+            # does); one cached input frame is the cost for direct callers.
+            .persist()
+        )
+        # distinct observed paths per level — tiny, broadcast into anti-joins.
+        # ONE action: max_level falls out of the same collect (a separate
+        # agg(max) paid a full extra scan of the cached join per run)
+        obs_pairs = {
+            (r["path"], r["level"])
+            for r in observed.select("path", "level").distinct().collect()
+        }
+        scratch = observed
     obs_paths_by_level: dict[int, list[str]] = {}
-    for r in observed.select("path", "level").distinct().collect():
+    for path, level in obs_pairs:
         # taxonomy-sized (<=1e5), not data-sized
-        obs_paths_by_level.setdefault(r["level"], []).append(r["path"])
+        obs_paths_by_level.setdefault(level, []).append(path)
+    if _os.environ.get("TAXAHFE_DEBUG_TIMING") == "1":
+        print(f"[timing] rollup: observed persist + distinct collect "
+              f"{_time.time()-_t0:.2f}s", file=_sys.stderr, flush=True)
     max_level = max(obs_paths_by_level, default=None)
     if max_level is None:
         return observed.select(
@@ -179,20 +221,30 @@ def hierarchical_rollup(
         missing_by_level[lvl] = parents - set(obs_paths_by_level.get(lvl, []))
         resolved_paths = set(obs_paths_by_level.get(lvl, [])) | missing_by_level[lvl]
 
+    _t0 = _time.time()
+    # Per-level lineage truncation via PERSIST, not localCheckpoint: the
+    # plan below a cached frame collapses to an InMemoryRelation leaf, so
+    # planning stays O(1) per level exactly as with a checkpoint — but a
+    # persist is genuinely lazy (under AQE, even an eager=False
+    # localCheckpoint executes its query stages at call time because toRdd
+    # must finalize the adaptive plan, which serialized one job PER LEVEL
+    # into the rollup's build phase — measured ~6 s of the sf0.1 flagship)
+    # and stores columnar batches instead of row-format blocks. The first
+    # downstream action fills every level cache in one fused job; a plain
+    # lazy union with NO per-level truncation is not an option — each
+    # level's plan nests the previous level's, so Spark re-executes the
+    # deepest level O(depth) times (measured 40 s same shape).
     resolved_per_level: list[DataFrame] = []
     current = observed.filter(F.col("level") == max_level).withColumn(
         "observed", F.lit(True)
     )
     if checkpoint:
-        # LAZY per-level checkpoints: the first action computes every level
-        # in ONE fused job (they chain off the eagerly-stored `observed`),
-        # then each level's blocks serve all later consumers. Eager here
-        # would serialize max_level extra driver barriers for nothing.
-        current = current.localCheckpoint(eager=False)
+        current = current.persist()
     resolved_per_level.append(current)
 
     for lvl in range(max_level - 1, 0, -1):
         child = resolved_per_level[-1]
+        has_obs = bool(obs_paths_by_level.get(lvl))
         obs_lvl = observed.filter(F.col("level") == lvl).withColumn(
             "observed", F.lit(True)
         )
@@ -201,6 +253,19 @@ def hierarchical_rollup(
             # every parent at this level is observed: the old shape ran a
             # whole-level groupBy and anti-joined away 100% of its output
             current = obs_lvl
+        elif not has_obs:
+            # NOTHING observed at this level: the obs_lvl slice would scan
+            # the cached input only to yield 0 rows — every node here is a
+            # rolled-up missing parent, so skip the union (and its scan)
+            current = (
+                child.withColumn("path", parent_path("path"))
+                .filter(F.col("path").isNotNull())
+                .groupBy("path", "entity_id")
+                .agg(F.sum("value").alias("value"))
+                .withColumn("level", F.lit(lvl))
+                .withColumn("observed", F.lit(False))
+                .select(*obs_lvl.columns)
+            )
         else:
             # roll up ONLY the children of missing parents. Parent derived
             # from the path string, no join to find it; the old
@@ -209,17 +274,14 @@ def hierarchical_rollup(
             parents = child.withColumn("path", parent_path("path")).filter(
                 F.col("path").isNotNull()
             )
-            if obs_paths_by_level.get(lvl):
-                # partially observed level: broadcast semi-join on the
-                # taxonomy-sized missing set (not an IN-list — a 10^5-path
-                # isin builds a megabyte expression tree re-parsed per
-                # level) prunes the children to the needed subtrees
-                miss_df = spark.createDataFrame(
-                    [(p,) for p in sorted(missing)], ["path"]
-                )
-                parents = parents.join(F.broadcast(miss_df), "path", "left_semi")
-            # else: NOTHING at this level is observed — every parent is
-            # missing, the semi-join would pass 100% of rows; skip it
+            # partially observed level: broadcast semi-join on the
+            # taxonomy-sized missing set (not an IN-list — a 10^5-path
+            # isin builds a megabyte expression tree re-parsed per
+            # level) prunes the children to the needed subtrees
+            miss_df = spark.createDataFrame(
+                [(p,) for p in sorted(missing)], ["path"]
+            )
+            parents = parents.join(F.broadcast(miss_df), "path", "left_semi")
             rolled = (
                 parents.groupBy("path", "entity_id")
                 .agg(F.sum("value").alias("value"))
@@ -228,16 +290,23 @@ def hierarchical_rollup(
             )
             current = obs_lvl.unionByName(rolled.select(*obs_lvl.columns))
         if checkpoint:
-            current = current.localCheckpoint(eager=False)
+            current = current.persist()
         resolved_per_level.append(current)
 
+    if _os.environ.get("TAXAHFE_DEBUG_TIMING") == "1":
+        print(f"[timing] rollup: level-loop build {_time.time()-_t0:.2f}s",
+              file=_sys.stderr, flush=True)
+    _t0 = _time.time()
     out = resolved_per_level[0]
     for lvl_df in resolved_per_level[1:]:
         out = out.unionByName(lvl_df)
     out = out.select("path", "level", "entity_id", "value", "observed")
+    if _os.environ.get("TAXAHFE_DEBUG_TIMING") == "1":
+        print(f"[timing] rollup: union build {_time.time()-_t0:.2f}s",
+              file=_sys.stderr, flush=True)
     # cleanup handle: safe to unpersist once the result has been fully
-    # materialized (the lazy level checkpoints pin the data from then on)
-    out._taxahfe_scratch = observed
+    # materialized (the per-level caches pin the data from then on)
+    out._taxahfe_scratch = scratch
     return out
 
 
