@@ -429,16 +429,30 @@ FROM sums s JOIN fl f USING (doc_id)
 
 
 def q_token_rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from taxahfe_spark.tokens import build_vocab, token_count_rollup, tokenize, words
+    # r8 plan restructure (same result, same oracle): the rollup output is a
+    # pure function of each document's word MULTISET, and the word->token_id
+    # mapping is a bijection, so routing the stream through tokenize() only
+    # to re-explode the assembled arrays (collect_list + array_sort + explode
+    # round trip) and join the taxonomy on token_id computed work the query
+    # throws away. The word stream now joins the SAME taxonomy keyed by word
+    # via token_count_rollup_stream; build_vocab still provides the taxonomy
+    # frame (its ranking window is pruned by Catalyst because token_id is
+    # unused - exactly the point).
+    from taxahfe_spark.tokens import build_vocab, token_count_rollup_stream, words
 
     docs = _t(spark, sf_dir, "documents")
     vocab = build_vocab(words(docs, "text"))
-    seqs = tokenize(docs, "text", "doc_id", vocab=vocab)
-    tax = vocab.select(
-        "token_id",
+    tax_w = vocab.select(
+        "word",
         F.concat_ws("|", F.substring("word", 1, 1), "word").alias("clade_path"),
     )
-    out = token_count_rollup(seqs, tax)
+    par = spark.sparkContext.defaultParallelism
+    tok = (
+        words(docs, "text")
+        .repartition(par * 2)
+        .select("doc_id", F.explode("words").alias("word"))
+    )
+    out = token_count_rollup_stream(tok, tax_w, token_col="word")
     return out.select(
         F.col("entity_id").cast("long").alias("doc_id"),
         "path",

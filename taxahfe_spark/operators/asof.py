@@ -24,7 +24,8 @@ strategies are provided and both are leakage-safe:
 
 Tie semantics match pandas.merge_asof: ``allow_exact_matches=True`` includes
 a right row with right_ts == left_ts; among right duplicates on (key, ts) the
-last one in (ts, tiebreak) order wins.
+winner is deterministic in the broadcast strategy only (stable mergesort
+order — see asof_join's docstring for the union strategy's caveat).
 """
 
 from __future__ import annotations
@@ -73,8 +74,13 @@ def asof_join(
     'forward' (earliest right with right_ts >= left_ts — label-lookahead
     joins, where leakage is the POINT: next outcome after the event), and
     'nearest' (closer of the two; ties go backward, pandas-style). Among
-    right duplicates on (key, ts), backward keeps the LAST in timeline
-    order and forward the FIRST — both pinned by tests and the SQL oracle.
+    right duplicates on (key, ts): in the BROADCAST strategy backward keeps
+    the LAST and forward the FIRST in the stable (key, ts) mergesort order
+    (pinned by tests and the SQL oracle); the UNION strategy's window order
+    (ts, tag) has no tiebreaker among identical right rows, so WHICH
+    duplicate's values win there is partition-layout-dependent — feed it
+    deduplicated snapshots (one row per (key, ts)) when that matters
+    (ADVICE r7).
 
     In the union strategy every direction is ONE shuffle: backward/forward
     are a single partitioned window pass; nearest runs the two passes over

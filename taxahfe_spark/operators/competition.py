@@ -639,6 +639,7 @@ class TreeCompetition:
         params: CompetitionParams,
         re_individual: np.ndarray | None = None,
         re_time: np.ndarray | None = None,
+        vectors_dict: dict | None = None,
     ):
         if params.random_effects and (re_individual is None or re_time is None):
             raise ValueError(
@@ -688,7 +689,24 @@ class TreeCompetition:
         strategy = params.vector_strategy
         self.vectors = vectors
         self.bc_vectors = None
-        if strategy == "auto":
+        if vectors_dict is not None and strategy != "shuffle":
+            # caller already holds the collected sparse vectors (taxa_hfe's
+            # driver-prefix fast path): size the auto decision from the dict
+            # itself — no persist, no sizing agg, no second collect
+            nnz = sum(len(i) for i, _ in vectors_dict.values())
+            if strategy == "auto":
+                strategy = (
+                    "broadcast"
+                    if nnz * 12 <= params.broadcast_max_bytes
+                    else "shuffle"
+                )
+                _tlog(f"vector_strategy auto -> {strategy} (nnz={nnz}, dict)")
+            if strategy == "broadcast":
+                self.strategy = strategy
+                self.bc_vectors = self.spark.sparkContext.broadcast(
+                    vectors_dict
+                )
+        if self.bc_vectors is None and strategy == "auto":
             # persist BEFORE the sizing agg so the (collect_list pivot)
             # vector build runs once, whichever strategy wins
             vectors = vectors.persist()
@@ -700,7 +718,9 @@ class TreeCompetition:
             )
             _tlog(f"vector_strategy auto -> {strategy} (nnz={nnz})")
         self.strategy = strategy
-        if strategy == "broadcast":
+        if self.bc_vectors is not None:
+            pass  # pre-collected dict already broadcast above
+        elif strategy == "broadcast":
             # vectors are taxonomy-sized here; collect ONCE and broadcast
             # explicitly so every stage ships only assignment rows. Stored as
             # NUMPY arrays: a dict of Python int lists measured 13s PER

@@ -185,14 +185,18 @@ def rolling_stats(
     # timestamps: EXACT integer microseconds (a double epoch-second loses
     # sub-us precision at 2^53 and can flip frame membership for rows
     # exactly window_seconds apart — the oracle's INTERVAL arithmetic is
-    # exact, so ours must be too); numeric ts columns pass through
+    # exact, so ours must be too). Numeric (and DATE) ts columns scale into
+    # the same integer-microsecond units: Window.rangeBetween only accepts
+    # int bounds, so the former double passthrough raised
+    # 'Method rangeBetween([Double, Integer]) does not exist' on every
+    # numeric ts (ADVICE r7); integer-us scaling fixes that and keeps frame
+    # membership exact to 1 us of the numeric unit.
     dt = df.schema[ts].dataType.typeName()
-    if dt in ("timestamp", "timestamp_ntz"):
+    if dt in ("timestamp", "timestamp_ntz", "date"):
         tsv = F.unix_micros(F.col(ts).cast("timestamp"))
-        delta: float = int(round(float(window_seconds) * 1e6))
     else:
-        tsv = F.col(ts).cast("double")
-        delta = float(window_seconds)
+        tsv = F.round(F.col(ts).cast("double") * 1e6).cast("long")
+    delta: int = int(round(float(window_seconds) * 1e6))
     out = df.withColumn("__tsd", tsv)
     w = (
         Window.partitionBy(*keys)

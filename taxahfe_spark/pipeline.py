@@ -175,6 +175,126 @@ def discretize_label(
     return out
 
 
+def _parent_str(p: str) -> str | None:
+    """Driver mirror of taxonomy.parent_path (any '|' -> strip last segment)."""
+    return p[: p.rfind("|")] if "|" in p else None
+
+
+def _driver_prefix(
+    base: DataFrame,
+    path_map: list[tuple[str, str, int]] | None,
+    meta_subjects: list[str],
+    filter_prevalence: float,
+    filter_mean_abundance: float,
+) -> tuple[list[str], list[str], dict, pd.DataFrame]:
+    """Observed-wins rollup + filter flags + sparse design vectors computed
+    DRIVER-SIDE from the cached long frame, in one Arrow collect.
+
+    The broadcast-strategy competition collects every node's sparse vector
+    to the driver anyway, so below the driver budget the distributed prefix
+    (level-chain materialization, entity distinct, vectors groupBy, flags
+    job — 4 Spark jobs over data-sized frames) reduces to one Arrow
+    transfer of the base pairs plus taxonomy-sized numpy (guide §8: decide
+    with small rows). Semantics mirror hierarchical_rollup +
+    feature_filter_flags + to_feature_vectors exactly: observed nodes keep
+    their pairs verbatim, missing ancestors sum resolved children
+    (deterministically, children in sorted path order), prevalence counts
+    nonzero present values, mean divides by the full entity universe,
+    vector entries sort by (entity index, value).
+
+    Returns (present_entities_sorted, entity_ids, vectors_dict, flags_pdf).
+    """
+    tbl = base.toArrow()
+    pdf = tbl.to_pandas()
+    raw_col = "__raw" if "__raw" in pdf.columns else "path"
+    # raw path -> (clean path, level): factorize once, map the small universe
+    rcodes, runiq = pd.factorize(pdf[raw_col])
+    if path_map is not None:
+        pmap = {r: (p, lvl) for r, p, lvl in path_map}
+        u_paths = [pmap[r][0] for r in runiq]
+        u_levels = {pmap[r][0]: pmap[r][1] for r in runiq}
+    else:
+        u_paths = list(runiq)
+        u_levels = {p: p.count("|") + 1 for p in u_paths}
+    # clean collisions merge distinct raws into one path: re-factorize
+    pcodes_u, puniq = pd.factorize(pd.Series(u_paths))
+    pcodes = pcodes_u[rcodes]
+    obs_paths = list(puniq)
+
+    ecodes, euniq = pd.factorize(pdf["entity_id"])
+    present = sorted(euniq)
+    present_set = set(present)
+    entity_ids = [s for s in meta_subjects if s in present_set]
+    n_entities = len(entity_ids)
+    # entity universe == meta INTERSECT data by construction upstream;
+    # unknown entities (slot -1) are dropped like the inner idx join
+    idx_map = {e: i for i, e in enumerate(entity_ids)}
+    slot = np.array([idx_map.get(e, -1) for e in euniq], dtype=np.int64)
+    eidx = slot[ecodes]
+    vals = pdf["value"].to_numpy(dtype=np.float64)
+    keep = eidx >= 0
+    pcodes, eidx, vals = pcodes[keep], eidx[keep], vals[keep]
+
+    # leaf vectors: rows grouped per path, entries sorted by (idx, value) —
+    # the array_sort((eidx, value)) layout of to_feature_vectors
+    order = np.lexsort((vals, eidx, pcodes))
+    pcodes_o, eidx_o, vals_o = pcodes[order], eidx[order], vals[order]
+    bounds = np.searchsorted(pcodes_o, np.arange(len(obs_paths) + 1))
+    vecs: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for k, p in enumerate(obs_paths):
+        lo, hi = bounds[k], bounds[k + 1]
+        vecs[p] = (
+            eidx_o[lo:hi].astype(np.int32),
+            vals_o[lo:hi],
+        )
+
+    # observed-wins rollup of MISSING ancestors (taxonomy-sized numpy):
+    # identical traversal to hierarchical_rollup's missing_by_level driver
+    # precompute — resolved(lvl) = observed(lvl) + missing parents of
+    # resolved(lvl+1); each missing parent is the elementwise sum of its
+    # resolved children
+    obs_by_level: dict[int, set[str]] = {}
+    for p in obs_paths:
+        obs_by_level.setdefault(u_levels[p], set()).add(p)
+    levels_dict: dict[str, int] = {p: u_levels[p] for p in obs_paths}
+    max_level = max(obs_by_level, default=0)
+    resolved_at = {max_level: sorted(obs_by_level.get(max_level, set()))}
+    for lvl in range(max_level - 1, 0, -1):
+        children_of: dict[str, list[str]] = {}
+        for q in resolved_at[lvl + 1]:
+            par = _parent_str(q)
+            if par:
+                children_of.setdefault(par, []).append(q)
+        obs_lvl = obs_by_level.get(lvl, set())
+        missing = sorted(set(children_of) - obs_lvl)
+        for p in missing:
+            acc = np.zeros(n_entities)
+            for q in sorted(children_of[p]):
+                i, v = vecs[q]
+                np.add.at(acc, i.astype(np.int64), v)
+            nz = np.flatnonzero(acc)
+            vecs[p] = (nz.astype(np.int32), acc[nz])
+            levels_dict[p] = lvl
+        resolved_at[lvl] = sorted(obs_lvl | set(missing))
+
+    flags_rows = []
+    for p, (i, v) in vecs.items():
+        prev = int(np.count_nonzero(v))
+        mean = float(v.sum()) / n_entities if n_entities else 0.0
+        flags_rows.append(
+            {
+                "path": p,
+                "level": int(levels_dict[p]),
+                "passed_filters": (
+                    prev > n_entities * filter_prevalence
+                    and mean > filter_mean_abundance
+                ),
+            }
+        )
+    flags_pdf = pd.DataFrame(flags_rows)
+    return present, entity_ids, vecs, flags_pdf
+
+
 def taxa_hfe(
     metadata: DataFrame,
     hierarchical_long: DataFrame,
@@ -264,60 +384,107 @@ def taxa_hfe(
     # competition rows
     _tlog(f"taxa_hfe: meta+rollup build {_time.time()-_t0:.2f}s")
     _t0 = _time.time()
-    present = {
-        r["entity_id"]
-        for r in resolved.select("entity_id").distinct().collect()
-    }
-    _tlog(f"taxa_hfe: rollup materialize + entity distinct {_time.time()-_t0:.2f}s")
-    _t0 = _time.time()
-    # ^ that action materialized every level's lazy checkpoint; the rollup's
-    # scratch cache can go (ADVICE: repeated invocations must not accumulate)
-    scratch = getattr(resolved, "_taxahfe_scratch", None)
-    if scratch is not None:
-        scratch.unpersist()
-    meta_pdf = meta_pdf[meta_pdf["subject_id"].isin(present)].reset_index(drop=True)
-    entity_ids = meta_pdf["subject_id"].tolist()
-    # the data's entity universe is already on the driver: hand it to
-    # winner_feature_matrix (via the same attribute idiom as the scratch
-    # handle) so the export does not pay ANOTHER full distinct scan of
-    # resolved for a list this function already computed
-    resolved._taxahfe_entities = sorted(present)
+    # Driver-prefix fast path (guide §8 — decide with small rows): below the
+    # driver budget the whole prefix (entity distinct, rollup level chain,
+    # flags, vector build + collect) reduces to one Arrow transfer of the
+    # cached base pairs plus taxonomy-sized numpy — the competition's
+    # broadcast strategy collects exactly these vectors anyway. The gate is
+    # row-based and scale-adaptive: past TAXAHFE_DRIVER_PREFIX_MAX_ROWS
+    # (env, default 2M — roughly where a single-threaded collect stops
+    # beating the 4-job distributed prefix on a 32-core box) the original
+    # distributed path runs unchanged, as it always does for the shuffle
+    # vector strategy.
+    import os as _os
 
-    # Vectors FIRST, flags FROM the vectors: both filter statistics are pure
-    # functions of a path's (entity, value) pairs, and the vector frame
-    # already groups exactly those pairs per path — so the filter pass is a
-    # map-only job over the taxonomy-sized vector frame instead of a second
-    # full groupBy scan + shuffle of resolved (measured ~0.6 s at sf0.1).
-    # Semantics identical to feature_filter_flags (strict > on both, absent
-    # pairs are implicit zeros: prevalence counts nonzero PRESENT values and
-    # the mean divides by the full entity universe). The persist is released
-    # after the competition (TreeCompetition's auto branch also unpersists
-    # once it has chosen a delivery strategy; double-unpersist is a no-op).
-    _tlog(f"taxa_hfe: flags prep {_time.time()-_t0:.2f}s")
-    _t0 = _time.time()
-    vectors = to_feature_vectors(resolved, entity_ids).persist()
-    flags_pdf = (
-        vectors.select(
-            "path",
-            "level",
-            (
-                (
-                    F.size(F.filter("vals", lambda v: v != 0))
-                    > F.lit(float(len(entity_ids)) * filter_prevalence)
-                )
-                & (
-                    F.aggregate(
-                        "vals", F.lit(0.0), lambda acc, v: acc + v
-                    ) / F.lit(float(len(entity_ids)))
-                    > F.lit(float(filter_mean_abundance))
-                )
-            ).alias("passed_filters"),
+    base_info = getattr(rolled, "_taxahfe_base", None)
+    vecs_dict = None
+    use_driver_prefix = False
+    if base_info is not None and params.vector_strategy != "shuffle":
+        base_df, path_map = base_info
+        max_rows = int(
+            _os.environ.get("TAXAHFE_DRIVER_PREFIX_MAX_ROWS", "2000000")
         )
-        .toPandas()
-    )
+        # count served from the cache the rollup's distinct collect filled
+        use_driver_prefix = base_df.count() <= max_rows
+    if use_driver_prefix:
+        present_list, entity_ids, vecs_dict, flags_pdf = _driver_prefix(
+            base_df,
+            path_map,
+            meta_pdf["subject_id"].tolist(),
+            filter_prevalence,
+            filter_mean_abundance,
+        )
+        present = set(present_list)
+        scratch = getattr(resolved, "_taxahfe_scratch", None)
+        if scratch is not None:
+            scratch.unpersist()
+        meta_pdf = meta_pdf[meta_pdf["subject_id"].isin(present)].reset_index(
+            drop=True
+        )
+        resolved._taxahfe_entities = present_list
+        # lazy frame only for TreeCompetition's session handle / shuffle
+        # fallback — never materialized when the dict broadcast wins
+        vectors = to_feature_vectors(resolved, entity_ids)
+        _tlog(f"taxa_hfe: driver prefix {_time.time()-_t0:.2f}s")
+        _t0 = _time.time()
+    else:
+        present = {
+            r["entity_id"]
+            for r in resolved.select("entity_id").distinct().collect()
+        }
+        _tlog(
+            f"taxa_hfe: rollup materialize + entity distinct "
+            f"{_time.time()-_t0:.2f}s"
+        )
+        _t0 = _time.time()
+        # ^ that action materialized every level cache; the rollup's scratch
+        # cache can go (ADVICE: repeated invocations must not accumulate)
+        scratch = getattr(resolved, "_taxahfe_scratch", None)
+        if scratch is not None:
+            scratch.unpersist()
+        meta_pdf = meta_pdf[meta_pdf["subject_id"].isin(present)].reset_index(
+            drop=True
+        )
+        entity_ids = meta_pdf["subject_id"].tolist()
+        # the data's entity universe is already on the driver: hand it to
+        # winner_feature_matrix (via the same attribute idiom as the scratch
+        # handle) so the export does not pay ANOTHER full distinct scan of
+        # resolved for a list this function already computed
+        resolved._taxahfe_entities = sorted(present)
 
-    _tlog(f"taxa_hfe: vectors + flags {_time.time()-_t0:.2f}s")
-    _t0 = _time.time()
+        # Vectors FIRST, flags FROM the vectors: both filter statistics are
+        # pure functions of a path's (entity, value) pairs, and the vector
+        # frame already groups exactly those pairs per path — so the filter
+        # pass is a map-only job over the taxonomy-sized vector frame
+        # instead of a second full groupBy scan + shuffle of resolved
+        # (measured ~0.6 s at sf0.1). Semantics identical to
+        # feature_filter_flags (strict > on both, absent pairs are implicit
+        # zeros: prevalence counts nonzero PRESENT values and the mean
+        # divides by the full entity universe). The persist is released
+        # after the competition (TreeCompetition's auto branch also
+        # unpersists once it has chosen a delivery strategy).
+        vectors = to_feature_vectors(resolved, entity_ids).persist()
+        flags_pdf = (
+            vectors.select(
+                "path",
+                "level",
+                (
+                    (
+                        F.size(F.filter("vals", lambda v: v != 0))
+                        > F.lit(float(len(entity_ids)) * filter_prevalence)
+                    )
+                    & (
+                        F.aggregate(
+                            "vals", F.lit(0.0), lambda acc, v: acc + v
+                        ) / F.lit(float(len(entity_ids)))
+                        > F.lit(float(filter_mean_abundance))
+                    )
+                ).alias("passed_filters"),
+            )
+            .toPandas()
+        )
+        _tlog(f"taxa_hfe: vectors + flags {_time.time()-_t0:.2f}s")
+        _t0 = _time.time()
     re_individual = re_time = None
     if params.random_effects:
         # reference lib/tree.R:116-131: individual/time required; a numeric
@@ -345,6 +512,7 @@ def taxa_hfe(
     comp = TreeCompetition(
         vectors, flags_pdf, label, cov, params,
         re_individual=re_individual, re_time=re_time,
+        vectors_dict=vecs_dict,
     )
     _tlog(f"taxa_hfe: competition init {_time.time()-_t0:.2f}s")
     _t0 = _time.time()
@@ -353,6 +521,12 @@ def taxa_hfe(
     finally:
         vectors.unpersist()  # no-op when TreeCompetition already released it
     _tlog(f"taxa_hfe: competition run {_time.time()-_t0:.2f}s")
+    if comp.bc_vectors is not None:
+        # the broadcast-strategy vector dict is already driver-resident:
+        # hand it to winner_feature_matrix (same attribute idiom as
+        # _taxahfe_entities) so the winner pivot can be assembled driver-
+        # side instead of re-scanning resolved for a taxonomy-sized slice
+        resolved._taxahfe_vecs = (entity_ids, comp.bc_vectors.value)
     return resolved, state
 
 
@@ -413,8 +587,32 @@ def winner_feature_matrix(
         entities = resolved.select(
             F.col("entity_id").alias("subject_id")
         ).distinct()
+    vecs_ctx = getattr(resolved, "_taxahfe_vecs", None)
     if not winners:
         base = entities
+    elif (
+        vecs_ctx is not None
+        and all(w in vecs_ctx[1] for w in winners)
+        and len(vecs_ctx[0]) * len(winners) <= 50_000_000
+        and len({clean_name(w) for w in winners}) == len(winners)
+    ):
+        # driver fast path: taxa_hfe's broadcast-strategy competition
+        # already collected every node's sparse vector, so the winner
+        # matrix (winner count x entities — small by construction, the
+        # whole point of the collapse) densifies locally and ships back as
+        # ONE Arrow createDataFrame instead of a filter+pivot re-scan of
+        # resolved. Values identical to the pivot: present pairs keep their
+        # value, absent pairs are the same zeros na.fill produced. The cell
+        # gate falls back to the distributed pivot for pathological winner
+        # counts.
+        w_entities, vecs = vecs_ctx
+        pdf = pd.DataFrame({"subject_id": list(w_entities)})
+        for w in winners:
+            idxs, vals = vecs[w]
+            col = np.zeros(len(w_entities))
+            col[np.asarray(idxs, dtype=np.int64)] = vals
+            pdf[clean_name(w)] = col
+        base = resolved.sparkSession.createDataFrame(pdf)
     else:
         pivoted = (
             resolved.filter(F.col("path").isin(winners))

@@ -307,6 +307,16 @@ def hierarchical_rollup(
     # cleanup handle: safe to unpersist once the result has been fully
     # materialized (the per-level caches pin the data from then on)
     out._taxahfe_scratch = scratch
+    # driver-prefix handle (taxa_hfe fast path): the cached INPUT frame plus
+    # the raw-path -> (clean path, level) mapping already collected above —
+    # enough to rebuild flags/vectors driver-side without materializing the
+    # distributed level chain. clean_paths=False passes None (identity map).
+    out._taxahfe_base = (
+        scratch,
+        [(r["__raw"], r["path"], r["level"]) for r in map_rows]
+        if clean_paths
+        else None,
+    )
     return out
 
 

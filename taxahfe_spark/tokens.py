@@ -18,7 +18,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from taxahfe_spark.operators.asof import asof_join
 from taxahfe_spark.taxonomy import explode_ancestors
 
 # ASCII-only split so word boundaries are engine-independent (the same
@@ -340,6 +339,43 @@ def unigram_logprob(
     )
 
 
+def token_count_rollup_stream(
+    tok: DataFrame,
+    taxonomy: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "token_id",
+    relative: bool = False,
+) -> DataFrame:
+    """Per-document taxon counts from an already-exploded token stream.
+
+    tok: (id_col, token_col); taxonomy: (token_col, clade_path) — broadcast.
+    The counting core of :func:`token_count_rollup` without the
+    array-assembly round trip: callers that already hold the exploded
+    stream (e.g. a word stream joined to a word-keyed taxonomy) skip
+    collect_list + array_sort + re-explode entirely — the rollup's output
+    is a pure function of the token MULTISET per document, so order
+    assembly is wasted work on this path (guide: don't compute what you
+    throw away). ``token_col`` may be any joinable type (int token ids,
+    raw words, ...).
+    """
+    leaf = tok.join(F.broadcast(taxonomy), token_col, "inner")
+    anc = explode_ancestors(
+        leaf.select(id_col, F.col("clade_path").alias("path")), "path"
+    )
+    counts = (
+        anc.groupBy(
+            F.col(id_col).alias("entity_id"),
+            F.col("anc_path").alias("path"),
+            F.col("anc_level").alias("level"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    if relative:
+        w = Window.partitionBy("entity_id", "level")
+        counts = counts.withColumn("value", F.col("value") / F.sum("value").over(w))
+    return counts.select("path", "level", "entity_id", "value")
+
+
 def token_count_rollup(
     seqs: DataFrame,
     taxonomy: DataFrame,
@@ -364,20 +400,9 @@ def token_count_rollup(
     tok = seqs.repartition(par * 2).select(
         id_col, F.explode("tokens").alias("token_id")
     )
-    leaf = tok.join(F.broadcast(taxonomy), "token_id", "inner")
-    anc = explode_ancestors(leaf.select(id_col, F.col("clade_path").alias("path")), "path")
-    counts = (
-        anc.groupBy(
-            F.col(id_col).alias("entity_id"),
-            F.col("anc_path").alias("path"),
-            F.col("anc_level").alias("level"),
-        )
-        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    return token_count_rollup_stream(
+        tok, taxonomy, id_col=id_col, token_col="token_id", relative=relative
     )
-    if relative:
-        w = Window.partitionBy("entity_id", "level")
-        counts = counts.withColumn("value", F.col("value") / F.sum("value").over(w))
-    return counts.select("path", "level", "entity_id", "value")
 
 
 def point_in_time_token_features(
@@ -394,29 +419,25 @@ def point_in_time_token_features(
 
     Each (doc, ts) row is matched to the latest snapshot with
     snapshot_ts <= ts, then its tokens are rolled up under THAT version's
-    paths. Snapshot assignment is a broadcast as-of probe on a constant key
-    (the snapshot-version list is tiny), so the fact table is never shuffled
-    for version resolution; the only shuffle is the final count groupBy.
+    paths. Snapshot assignment is a LITERAL-ARRAY as-of probe: the version
+    list is tiny by contract, so it is collected once and the backward
+    probe (max version <= ts) becomes a pure JVM expression over a literal
+    array — the r7 shape routed every event row (token arrays included)
+    through a mapInPandas as-of probe whose only inputs were (id, ts),
+    paying the Python boundary for columns the probe never read (guide §4:
+    pass only what the function needs; here the boundary disappears
+    entirely). The fact table is never shuffled for version resolution;
+    the only shuffle is the final count groupBy.
     """
-    versions = (
-        snapshots.select("snapshot_ts")
-        .distinct()
-        .withColumn("__snap", F.col("snapshot_ts"))
+    snap_vals = sorted(
+        r["snapshot_ts"]
+        for r in snapshots.select("snapshot_ts").distinct().collect()
     )
-    tagged = (
-        asof_join(
-            events.withColumn("__g", F.lit(1)),
-            versions.withColumn("__g", F.lit(1)),
-            on="__g",
-            left_ts=ts_col,
-            right_ts="snapshot_ts",
-            value_cols=["__snap"],
-            strategy="broadcast",
-        )
-        .drop("__g")
-        .withColumnRenamed("__snap", "snapshot_ts")
-        .filter(F.col("snapshot_ts").isNotNull())
-    )
+    snap_arr = F.array(*[F.lit(v) for v in snap_vals])
+    tagged = events.withColumn(
+        "snapshot_ts",
+        F.array_max(F.filter(snap_arr, lambda v: v <= F.col(ts_col))),
+    ).filter(F.col("snapshot_ts").isNotNull())
     tok = tagged.select(
         id_col, ts_col, "snapshot_ts", F.explode("tokens").alias("token_id")
     )

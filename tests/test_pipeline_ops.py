@@ -856,3 +856,35 @@ def test_incremental_minhash_dedup_keeps_caller_cache(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [2]
     assert sigs.storageLevel.useMemory, "caller-owned cache was evicted"
     sigs.unpersist()
+
+
+def test_driver_prefix_parity_with_distributed(spark, sf_dir, monkeypatch):
+    """The r8 driver-prefix fast path (Arrow collect + numpy rollup/flags/
+    vectors) must produce the exact same competition state and winner
+    matrix as the distributed prefix it replaces below the row gate."""
+    import pandas as pd
+
+    import __spark_entry__ as em
+    from taxahfe_spark.operators.competition import CompetitionParams
+    from taxahfe_spark.pipeline import taxa_hfe, winner_feature_matrix
+
+    long, meta = em.supplier_hierarchy(spark, sf_dir)
+    params = CompetitionParams(
+        lowest_level=1, nperm=2, num_trees=4, seed=7,
+        super_filter_nperm_factor=2,
+    )
+    frames = {}
+    for tag, gate in (("driver", "2000000"), ("distributed", "0")):
+        monkeypatch.setenv("TAXAHFE_DRIVER_PREFIX_MAX_ROWS", gate)
+        resolved, state = taxa_hfe(
+            meta, long, params=params, filter_prevalence=0.05
+        )
+        mat = winner_feature_matrix(resolved, state, metadata=meta).toPandas()
+        frames[tag] = (
+            state.reset_index(drop=True),
+            mat.sort_values("subject_id").reset_index(drop=True)[
+                sorted(mat.columns)
+            ],
+        )
+    pd.testing.assert_frame_equal(frames["driver"][0], frames["distributed"][0])
+    pd.testing.assert_frame_equal(frames["driver"][1], frames["distributed"][1])

@@ -141,3 +141,30 @@ def test_rolling_stats_plan_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_rolling_stats_numeric_ts(spark):
+    """ADVICE r7: the numeric-ts branch passed a float delta to
+    Window.rangeBetween (Py4J: no such method) — now numeric ts scales into
+    integer microsecond units like the timestamp branch. Pandas replay."""
+    import pandas as pd
+
+    from taxahfe_spark.operators.windows import rolling_stats
+
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (u, float(rng.randint(0, 600)) + rng.choice([0.0, 0.25, 0.5]),
+         float(rng.randint(0, 100)))
+        for u in (1, 2) for _ in range(40)
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    df = spark.createDataFrame(pdf)
+    got = rolling_stats(df, "user_id", "ts", "value", window_seconds=120.5).toPandas()
+    for _, r in got.iterrows():
+        m = pdf[(pdf.user_id == r.user_id)
+                & (pdf.ts >= r.ts - 120.5) & (pdf.ts <= r.ts)]
+        assert r.w_count == len(m), (r, m)
+        assert abs(r.w_sum - m.value.sum()) < 1e-9
+        assert r.w_min == m.value.min() and r.w_max == m.value.max()
