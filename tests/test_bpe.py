@@ -131,3 +131,56 @@ def test_bpe_checkpoint_path_same_result(spark):
     a = bpe_train(wc, num_merges=10, checkpoint_every=2)
     b = bpe_train(wc, num_merges=10, checkpoint_every=100)
     assert a == b
+
+
+def test_bpe_both_paths_match_oracle_200_merges_random_corpus(spark, monkeypatch):
+    """r8 trainers must stay EXACTLY the sequential argmax sequence on a
+    randomized corpus at depth (VERDICT r7 §2 acceptance): 200 merges,
+    Zipfian-ish word frequencies, small alphabet so created symbols collide
+    and interact often — for BOTH the driver fast path (incremental heap)
+    and the distributed batched loop (gate forced off)."""
+    import random
+
+    rng = random.Random(1234)
+    alpha = "abcd"
+    vocab = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(1, 8)))
+        for _ in range(300)
+    ]
+    pairs = [(w, rng.randint(1, 50)) for w in sorted(set(vocab))]
+    wc = spark.createDataFrame(pairs, "word string, count long")
+    want, _ = oracle_train(pairs, 200, min_pair_count=1)
+    got_driver = bpe_train(wc, num_merges=200, min_pair_count=1)
+    assert got_driver == want
+    monkeypatch.setenv("TAXAHFE_BPE_DRIVER_MAX_WORDS", "0")
+    got_dist = bpe_train(wc, num_merges=200, min_pair_count=1)
+    assert got_dist == want
+
+
+def test_bpe_driver_path_job_count(spark):
+    """Below the vocab gate, training runs ZERO Spark jobs per merge (one
+    count + one collect total) — the r7 shape ran >= 1 job PER merge
+    (VERDICT r7 §2 acceptance: job count <= merges/m + O(1))."""
+    import random
+
+    rng = random.Random(9)
+    alpha = "abcdefgh"
+    vocab = sorted(
+        {
+            "".join(rng.choice(alpha) for _ in range(rng.randint(2, 10)))
+            for _ in range(500)
+        }
+    )
+    pairs = [(w, rng.randint(1, 100)) for w in vocab]
+    wc = spark.createDataFrame(pairs, "word string, count long")
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = max(tracker.getJobIdsForGroup() or [0])
+    merges = bpe_train(wc, num_merges=60, min_pair_count=1, checkpoint_every=8)
+    after = max(tracker.getJobIdsForGroup() or [0])
+    n_jobs = after - before
+    assert len(merges) == 60
+    assert n_jobs <= 6, (n_jobs, len(merges))  # count + collect (+ AQE subjobs)
+    # and parity with the oracle on the same fixture
+    want, _ = oracle_train(pairs, 60, min_pair_count=1)
+    assert merges == want
