@@ -163,8 +163,14 @@ def q_hfe_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxahfe_spark.taxonomy import hierarchical_rollup
 
     long = _hfe_long(spark, sf_dir)
-    n_entities = long.select("entity_id").distinct().count()
+    # r8: rollup FIRST — its construction already fills the base cache, so
+    # the entity-universe count becomes a cached scan instead of a second
+    # full pass over the 5-way join (same distinct set either way; the
+    # rollup's base projection only casts entity_id to string)
     resolved = hierarchical_rollup(long, clean_paths=False)
+    n_entities = (
+        resolved._taxahfe_base[0].select("entity_id").distinct().count()
+    )
     return feature_filter_flags(resolved, n_entities, 0.4, 1000.0).select(
         "path",
         F.col("level").cast("long").alias("level"),
