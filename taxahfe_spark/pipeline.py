@@ -186,7 +186,7 @@ def _driver_prefix(
     meta_subjects: list[str],
     filter_prevalence: float,
     filter_mean_abundance: float,
-) -> tuple[list[str], list[str], dict, pd.DataFrame]:
+) -> tuple[list[str], list[str], dict, pd.DataFrame, pd.DataFrame]:
     """Observed-wins rollup + filter flags + sparse design vectors computed
     DRIVER-SIDE from the cached long frame, in one Arrow collect.
 
@@ -202,7 +202,11 @@ def _driver_prefix(
     nonzero present values, mean divides by the full entity universe,
     vector entries sort by (entity index, value).
 
-    Returns (present_entities_sorted, entity_ids, vectors_dict, flags_pdf).
+    Returns (present_entities_sorted, entity_ids, vectors_dict, flags_pdf,
+    resolved_pdf) — resolved_pdf is the full resolved long frame (path,
+    level, entity_id, value, observed) reconstructed driver-side so
+    taxa_hfe can hand callers a local-relation `resolved` instead of an
+    unmaterialized distributed level chain.
     """
     tbl = base.toArrow()
     pdf = tbl.to_pandas()
@@ -268,12 +272,19 @@ def _driver_prefix(
         obs_lvl = obs_by_level.get(lvl, set())
         missing = sorted(set(children_of) - obs_lvl)
         for p in missing:
+            # PRESENCE mask, not nonzero: the distributed groupBy emits a
+            # row for every entity present in ANY child even when the sums
+            # cancel to exactly 0.0 — mirror that so the reconstructed
+            # resolved frame and the design vectors are row-identical
             acc = np.zeros(n_entities)
+            mask = np.zeros(n_entities, dtype=bool)
             for q in sorted(children_of[p]):
                 i, v = vecs[q]
-                np.add.at(acc, i.astype(np.int64), v)
-            nz = np.flatnonzero(acc)
-            vecs[p] = (nz.astype(np.int32), acc[nz])
+                i64 = i.astype(np.int64)
+                np.add.at(acc, i64, v)
+                mask[i64] = True
+            pres = np.flatnonzero(mask)
+            vecs[p] = (pres.astype(np.int32), acc[pres])
             levels_dict[p] = lvl
         resolved_at[lvl] = sorted(obs_lvl | set(missing))
 
@@ -292,7 +303,41 @@ def _driver_prefix(
             }
         )
     flags_pdf = pd.DataFrame(flags_rows)
-    return present, entity_ids, vecs, flags_pdf
+
+    # resolved reconstruction: observed rows verbatim from the base pairs
+    # (cleaned path + level, duplicates preserved), missing ancestors from
+    # the rollup above — the exact content the distributed level chain
+    # would materialize, as driver arrays (gated smallness by construction)
+    ent_arr = np.asarray(entity_ids, dtype=object)
+    obs_paths_arr = np.asarray(obs_paths, dtype=object)
+    res_parts = [
+        pd.DataFrame(
+            {
+                "path": obs_paths_arr[pcodes],
+                "level": np.asarray(
+                    [u_levels[p] for p in obs_paths], dtype=np.int64
+                )[pcodes],
+                "entity_id": ent_arr[eidx],
+                "value": vals,
+                "observed": True,
+            }
+        )
+    ]
+    for p in sorted(set(vecs) - set(obs_paths)):
+        i, v = vecs[p]
+        res_parts.append(
+            pd.DataFrame(
+                {
+                    "path": p,
+                    "level": int(levels_dict[p]),
+                    "entity_id": ent_arr[i.astype(np.int64)],
+                    "value": v,
+                    "observed": False,
+                }
+            )
+        )
+    resolved_pdf = pd.concat(res_parts, ignore_index=True)
+    return present, entity_ids, vecs, flags_pdf, resolved_pdf
 
 
 def taxa_hfe(
@@ -371,7 +416,14 @@ def taxa_hfe(
     spark_par = metadata.sparkSession.sparkContext.defaultParallelism
     _tlog(f"taxa_hfe: meta prep {_time.time()-_t0:.2f}s")
     _t0 = _time.time()
-    rolled = hierarchical_rollup(long)
+    # DEFERRED levels: the rollup's only actions here are the base cache
+    # fill + the taxonomy-sized mapping collect. If the driver-prefix fast
+    # path wins below, the distributed level chain is never needed (the
+    # returned `resolved` is replaced by a driver-reconstructed local
+    # relation); if the distributed path runs, the rollup is re-issued with
+    # level checkpoints (its base plan matches the already-filled cache, so
+    # the re-issue costs the level chain only — exactly the r7 build)
+    rolled = hierarchical_rollup(long, defer_levels=True)
     resolved = rolled.coalesce(max(2 * spark_par, 16))
     # coalesce() returns a new frame: re-attach the rollup's scratch-cache
     # handle so the unpersist below still finds it
@@ -407,12 +459,14 @@ def taxa_hfe(
         # count served from the cache the rollup's distinct collect filled
         use_driver_prefix = base_df.count() <= max_rows
     if use_driver_prefix:
-        present_list, entity_ids, vecs_dict, flags_pdf = _driver_prefix(
-            base_df,
-            path_map,
-            meta_pdf["subject_id"].tolist(),
-            filter_prevalence,
-            filter_mean_abundance,
+        present_list, entity_ids, vecs_dict, flags_pdf, resolved_pdf = (
+            _driver_prefix(
+                base_df,
+                path_map,
+                meta_pdf["subject_id"].tolist(),
+                filter_prevalence,
+                filter_mean_abundance,
+            )
         )
         present = set(present_list)
         scratch = getattr(resolved, "_taxahfe_scratch", None)
@@ -421,6 +475,16 @@ def taxa_hfe(
         meta_pdf = meta_pdf[meta_pdf["subject_id"].isin(present)].reset_index(
             drop=True
         )
+        # the deferred distributed chain is UNSAFE to materialize (see
+        # hierarchical_rollup's defer_levels contract) — replace the
+        # returned frame with the driver-reconstructed resolved content
+        # (identical rows; gated smallness by construction), served as a
+        # local relation at memory speed to every downstream consumer
+        resolved = spark.createDataFrame(
+            resolved_pdf,
+            schema="path string, level int, entity_id string, "
+                   "value double, observed boolean",
+        )
         resolved._taxahfe_entities = present_list
         # lazy frame only for TreeCompetition's session handle / shuffle
         # fallback — never materialized when the dict broadcast wins
@@ -428,6 +492,12 @@ def taxa_hfe(
         _tlog(f"taxa_hfe: driver prefix {_time.time()-_t0:.2f}s")
         _t0 = _time.time()
     else:
+        # re-issue the rollup WITH level checkpoints (the deferred frame is
+        # unsafe to consume); its base subtree matches the already-filled
+        # cache, so this pays the level chain once — the r7 build shape
+        rolled = hierarchical_rollup(long)
+        resolved = rolled.coalesce(max(2 * spark_par, 16))
+        resolved._taxahfe_scratch = getattr(rolled, "_taxahfe_scratch", None)
         present = {
             r["entity_id"]
             for r in resolved.select("entity_id").distinct().collect()

@@ -112,6 +112,7 @@ def hierarchical_rollup(
     long_df: DataFrame,
     clean_paths: bool = True,
     checkpoint: bool = True,
+    defer_levels: bool = False,
 ) -> DataFrame:
     """Observed-wins hierarchical rollup (reference: lib/tree.R:372-449).
 
@@ -124,9 +125,18 @@ def hierarchical_rollup(
     resolved children (transitive, deepest-first).
 
     Scale shape: one shuffle per level (groupBy(parent, entity) with map-side
-    partial aggregation), anti-join against a broadcast set of observed paths,
-    localCheckpoint per level to truncate lineage (mandatory for deep trees —
-    otherwise the plan grows O(depth) and re-executes on every action).
+    partial aggregation), broadcast semi-join of the taxonomy-sized missing
+    sets, localCheckpoint per level to truncate lineage — MANDATORY for any
+    consumer: without it each missing level's plan nests the previous
+    level's, so Spark re-executes deep levels combinatorially on every
+    action (r8 measured a 7-level tree at ~100 s PER ACTION when per-level
+    truncation was replaced by lazy persist markers; the eager checkpoint
+    computes each level exactly once from the previous level's stored
+    blocks). ``defer_levels=True`` skips the truncation and returns raw
+    lazy level plans — STRICTLY for callers that never materialize the
+    result (taxa_hfe's driver-prefix fast path, which replaces the frame
+    before returning it); materializing a deferred result on a deep tree
+    is the combinatorial case above.
     """
     spark = long_df.sparkSession
     import os as _os, sys as _sys, time as _time
@@ -222,24 +232,23 @@ def hierarchical_rollup(
         resolved_paths = set(obs_paths_by_level.get(lvl, [])) | missing_by_level[lvl]
 
     _t0 = _time.time()
-    # Per-level lineage truncation via PERSIST, not localCheckpoint: the
-    # plan below a cached frame collapses to an InMemoryRelation leaf, so
-    # planning stays O(1) per level exactly as with a checkpoint — but a
-    # persist is genuinely lazy (under AQE, even an eager=False
-    # localCheckpoint executes its query stages at call time because toRdd
-    # must finalize the adaptive plan, which serialized one job PER LEVEL
-    # into the rollup's build phase — measured ~6 s of the sf0.1 flagship)
-    # and stores columnar batches instead of row-format blocks. The first
-    # downstream action fills every level cache in one fused job; a plain
-    # lazy union with NO per-level truncation is not an option — each
-    # level's plan nests the previous level's, so Spark re-executes the
-    # deepest level O(depth) times (measured 40 s same shape).
+    # LAZY per-level checkpoints (r7 mechanism, kept deliberately): the
+    # first action computes every level in ONE fused chain off the stored
+    # input cache, then each level's blocks serve all later consumers.
+    # Under AQE even eager=False executes the level's stages at call time
+    # (toRdd finalizes the adaptive plan) — that build-time cost is the
+    # price of a SAFE resolved frame; per-level persist() markers were
+    # tried in r8 and do NOT reliably serve these nested level plans
+    # (measured ~100 s per action on the reference example's 7-level tree
+    # vs seconds with checkpoints). Callers that never consume the frame
+    # can skip the cost with defer_levels (see docstring).
+    truncate = checkpoint and not defer_levels
     resolved_per_level: list[DataFrame] = []
     current = observed.filter(F.col("level") == max_level).withColumn(
         "observed", F.lit(True)
     )
-    if checkpoint:
-        current = current.persist()
+    if truncate:
+        current = current.localCheckpoint(eager=False)
     resolved_per_level.append(current)
 
     for lvl in range(max_level - 1, 0, -1):
@@ -289,8 +298,8 @@ def hierarchical_rollup(
                 .withColumn("observed", F.lit(False))
             )
             current = obs_lvl.unionByName(rolled.select(*obs_lvl.columns))
-        if checkpoint:
-            current = current.persist()
+        if truncate:
+            current = current.localCheckpoint(eager=False)
         resolved_per_level.append(current)
 
     if _os.environ.get("TAXAHFE_DEBUG_TIMING") == "1":
@@ -305,7 +314,7 @@ def hierarchical_rollup(
         print(f"[timing] rollup: union build {_time.time()-_t0:.2f}s",
               file=_sys.stderr, flush=True)
     # cleanup handle: safe to unpersist once the result has been fully
-    # materialized (the per-level caches pin the data from then on)
+    # materialized (the level checkpoints pin the data from then on)
     out._taxahfe_scratch = scratch
     # driver-prefix handle (taxa_hfe fast path): the cached INPUT frame plus
     # the raw-path -> (clean path, level) mapping already collected above —

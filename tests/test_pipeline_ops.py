@@ -888,3 +888,33 @@ def test_driver_prefix_parity_with_distributed(spark, sf_dir, monkeypatch):
         )
     pd.testing.assert_frame_equal(frames["driver"][0], frames["distributed"][0])
     pd.testing.assert_frame_equal(frames["driver"][1], frames["distributed"][1])
+
+
+def test_driver_prefix_resolved_content_matches_distributed(spark, sf_dir, monkeypatch):
+    """The fast path replaces `resolved` with a driver-reconstructed local
+    relation — its rows (incl. explicit zero-sum ancestor pairs and the
+    observed flags) must equal the distributed level chain's output."""
+    import pandas as pd
+
+    import __spark_entry__ as em
+    from taxahfe_spark.operators.competition import CompetitionParams
+    from taxahfe_spark.pipeline import taxa_hfe
+
+    long, meta = em.supplier_hierarchy(spark, sf_dir)
+    params = CompetitionParams(
+        lowest_level=1, nperm=2, num_trees=3, seed=3,
+        super_filter_nperm_factor=2,
+    )
+    frames = {}
+    for tag, gate in (("driver", "2000000"), ("distributed", "0")):
+        monkeypatch.setenv("TAXAHFE_DRIVER_PREFIX_MAX_ROWS", gate)
+        resolved, _ = taxa_hfe(meta, long, params=params, filter_prevalence=0.05)
+        pdf = resolved.toPandas()
+        pdf["value"] = pdf["value"].round(9)
+        frames[tag] = (
+            pdf.sort_values(["path", "entity_id"], kind="mergesort")
+            .reset_index(drop=True)[sorted(pdf.columns)]
+        )
+    pd.testing.assert_frame_equal(
+        frames["driver"], frames["distributed"], check_dtype=False
+    )
