@@ -41,16 +41,29 @@ def supplier_hierarchy(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
     li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
     su, na, re = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
     cu = _t(spark, sf_dir, "customer")
+    # aggregate on the INT key pair first, then attach the clade string by
+    # broadcast join on the taxonomy-sized supplier dimension (r8 guide
+    # §2.2: shuffle fewer bytes — the exchange carries (int, int, double)
+    # partial aggregates instead of ~60-byte concat keys; grouping by
+    # l_suppkey is exactly grouping by clade_name because s_name is unique
+    # per supplier and every lineitem's suppkey joins one supplier row, and
+    # l_quantity values are small integers so the sums are fp-exact in any
+    # accumulation order)
     long = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(su, li.l_suppkey == su.s_suppkey)
-        .join(na, su.s_nationkey == na.n_nationkey)
-        .join(re, na.n_regionkey == re.r_regionkey)
         .groupBy(
-            F.concat_ws("|", "r_name", "n_name", "s_name").alias("clade_name"),
+            F.col("l_suppkey").alias("skey"),
             F.col("o_custkey").alias("entity_id"),
         )
         .agg(F.sum("l_quantity").alias("value"))
+        .join(su, F.col("skey") == su.s_suppkey)
+        .join(na, su.s_nationkey == na.n_nationkey)
+        .join(re, na.n_regionkey == re.r_regionkey)
+        .select(
+            F.concat_ws("|", "r_name", "n_name", "s_name").alias("clade_name"),
+            "entity_id",
+            "value",
+        )
     )
     meta = cu.select(
         F.col("c_custkey").cast("string").alias("subject_id"),

@@ -180,6 +180,62 @@ def _parent_str(p: str) -> str | None:
     return p[: p.rfind("|")] if "|" in p else None
 
 
+class _DeferredLocalFrame:
+    """DataFrame stand-in whose local relation is built on first real use.
+
+    The driver-prefix fast path reconstructs ``resolved`` as driver-resident
+    pandas, but shipping those rows back to the JVM as a local relation costs
+    ~1.5-3 s at the sf0.1 flagship's 949k rows — and the two declared collapse
+    queries never consume the frame (winner_feature_matrix reads only the
+    ``_taxahfe_*`` handles and the session). This proxy defers the
+    ``createDataFrame`` until a consumer actually touches DataFrame API.
+
+    Deferral here is SAFE, unlike the deferred distributed level chain (see
+    hierarchical_rollup's defer_levels contract): the backing rows live in
+    driver memory, so late construction can never re-execute Spark work —
+    it only pays the same one-time serialization later, and exactly once.
+
+    Contract: attributes set on the proxy (the ``_taxahfe_*`` handles) are
+    answered from the proxy without building; ``sparkSession`` is answered
+    directly; ``unpersist`` on an unbuilt frame is a no-op (nothing was ever
+    persisted). Any other attribute or item access builds the real frame and
+    delegates to it forever after.
+    """
+
+    def __init__(self, spark, build):
+        object.__setattr__(self, "_lazy_spark", spark)
+        object.__setattr__(self, "_lazy_build", build)
+        object.__setattr__(self, "_lazy_df", None)
+
+    @property
+    def sparkSession(self) -> SparkSession:
+        return self._lazy_spark
+
+    def _materialize(self) -> DataFrame:
+        df = object.__getattribute__(self, "_lazy_df")
+        if df is None:
+            df = object.__getattribute__(self, "_lazy_build")()
+            # carry the attached handles over so readers that reached the
+            # real frame directly still see them
+            for k, v in list(self.__dict__.items()):
+                if k.startswith("_taxahfe_"):
+                    setattr(df, k, v)
+            object.__setattr__(self, "_lazy_df", df)
+        return df
+
+    def unpersist(self, *args, **kwargs):
+        df = object.__getattribute__(self, "_lazy_df")
+        if df is not None:
+            df.unpersist(*args, **kwargs)
+        return self
+
+    def __getattr__(self, name):
+        return getattr(self._materialize(), name)
+
+    def __getitem__(self, item):
+        return self._materialize()[item]
+
+
 def _driver_prefix(
     base: DataFrame,
     path_map: list[tuple[str, str, int]] | None,
@@ -478,17 +534,27 @@ def taxa_hfe(
         # the deferred distributed chain is UNSAFE to materialize (see
         # hierarchical_rollup's defer_levels contract) — replace the
         # returned frame with the driver-reconstructed resolved content
-        # (identical rows; gated smallness by construction), served as a
-        # local relation at memory speed to every downstream consumer
-        resolved = spark.createDataFrame(
-            resolved_pdf,
-            schema="path string, level int, entity_id string, "
-                   "value double, observed boolean",
+        # (identical rows; gated smallness by construction). The local
+        # relation itself is built on FIRST USE (_DeferredLocalFrame): the
+        # declared collapse queries consume only the _taxahfe_* handles, so
+        # they skip the ~1.5-3 s row serialization outright, while flagship
+        # consumers (summary/v1/oudah sinks, dietML) build it transparently
+        # from the driver-held pandas at the same one-time cost
+        _resolved_schema = (
+            "path string, level int, entity_id string, "
+            "value double, observed boolean"
+        )
+        resolved = _DeferredLocalFrame(
+            spark,
+            lambda: spark.createDataFrame(resolved_pdf, schema=_resolved_schema),
         )
         resolved._taxahfe_entities = present_list
         # lazy frame only for TreeCompetition's session handle / shuffle
         # fallback — never materialized when the dict broadcast wins
-        vectors = to_feature_vectors(resolved, entity_ids)
+        vectors = _DeferredLocalFrame(
+            spark,
+            lambda: to_feature_vectors(resolved._materialize(), entity_ids),
+        )
         _tlog(f"taxa_hfe: driver prefix {_time.time()-_t0:.2f}s")
         _t0 = _time.time()
     else:

@@ -918,3 +918,43 @@ def test_driver_prefix_resolved_content_matches_distributed(spark, sf_dir, monke
     pd.testing.assert_frame_equal(
         frames["driver"], frames["distributed"], check_dtype=False
     )
+
+
+def test_driver_prefix_resolved_is_deferred_until_consumed(spark, sf_dir, monkeypatch):
+    """r8: the fast path's `resolved` local relation must NOT be serialized
+    to the JVM when the caller only reads the _taxahfe_* handles (the two
+    declared collapse queries) — and must build transparently, with the
+    handles carried over, on first real DataFrame use."""
+    import __spark_entry__ as em
+    from taxahfe_spark.operators.competition import CompetitionParams
+    from taxahfe_spark.pipeline import (
+        _DeferredLocalFrame,
+        taxa_hfe,
+        winner_feature_matrix,
+    )
+
+    long, meta = em.supplier_hierarchy(spark, sf_dir)
+    params = CompetitionParams(
+        lowest_level=1, nperm=2, num_trees=3, seed=3,
+        super_filter_nperm_factor=2,
+    )
+    monkeypatch.setenv("TAXAHFE_DRIVER_PREFIX_MAX_ROWS", "2000000")
+    resolved, state = taxa_hfe(meta, long, params=params, filter_prevalence=0.05)
+    assert isinstance(resolved, _DeferredLocalFrame)
+    assert object.__getattribute__(resolved, "_lazy_df") is None
+
+    # the declared-query consumption pattern: winner matrix from the
+    # driver-resident handles only — the local relation must stay unbuilt
+    mat = winner_feature_matrix(resolved, state, metadata=meta)
+    mat.count()
+    assert object.__getattribute__(resolved, "_lazy_df") is None, (
+        "winner_feature_matrix materialized the deferred resolved frame"
+    )
+
+    # first real DataFrame access builds it, once, with handles attached
+    n = resolved.count()
+    built = object.__getattribute__(resolved, "_lazy_df")
+    assert built is not None and n > 0
+    assert getattr(built, "_taxahfe_entities", None) == resolved._taxahfe_entities
+    assert resolved.count() == n
+    assert object.__getattribute__(resolved, "_lazy_df") is built
