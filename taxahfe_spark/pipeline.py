@@ -560,8 +560,11 @@ def taxa_hfe(
     else:
         # re-issue the rollup WITH level checkpoints (the deferred frame is
         # unsafe to consume); its base subtree matches the already-filled
-        # cache, so this pays the level chain once — the r7 build shape
-        rolled = hierarchical_rollup(long)
+        # cache, so this pays the level chain once — the r7 build shape.
+        # allow_driver=False: this branch exists precisely because the data
+        # is past the driver budget or the caller forced the distributed
+        # vector strategy — the rollup must stay distributed with it
+        rolled = hierarchical_rollup(long, allow_driver=False)
         resolved = rolled.coalesce(max(2 * spark_par, 16))
         resolved._taxahfe_scratch = getattr(rolled, "_taxahfe_scratch", None)
         present = {

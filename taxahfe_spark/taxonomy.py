@@ -108,11 +108,113 @@ def melt_wide_matrix(
     )
 
 
+def _driver_rollup_pdf(pdf, raw_map):
+    """Observed-wins rollup computed DRIVER-SIDE from the collected base
+    pairs — the exact content the distributed level chain materializes,
+    as one pandas frame (r8 guide §8: decide with small rows).
+
+    Mirrors pipeline._driver_prefix's resolved reconstruction (minus the
+    metadata entity pruning, which the plain rollup does not do): observed
+    rows keep their (possibly duplicated) pairs verbatim; each MISSING
+    ancestor gets one row per entity PRESENT in any resolved child (even
+    when the sums cancel to exactly 0.0 — the groupBy-presence semantics),
+    values summed over child rows with children visited in sorted path
+    order. ``raw_map`` is the (raw, clean path, level) mapping for
+    clean_paths inputs (collision-merging included) or None for identity.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if raw_map is not None:
+        rcodes, runiq = pd.factorize(pdf["__raw"])
+        pmap = {r: (p, lvl) for r, p, lvl in raw_map}
+        u_paths = [pmap[r][0] for r in runiq]
+        u_lvls = [pmap[r][1] for r in runiq]
+    else:
+        rcodes, runiq = pd.factorize(pdf["path"])
+        u_paths = list(runiq)
+        u_lvls = [p.count("|") + 1 for p in u_paths]
+    # clean collisions merge distinct raws into one path: re-factorize
+    pcodes_u, puniq = pd.factorize(pd.Series(u_paths))
+    pcodes = pcodes_u[rcodes]
+    obs_paths = list(puniq)
+    levels: dict[str, int] = {}
+    for p, lvl in zip(u_paths, u_lvls):
+        levels[p] = int(lvl)
+
+    ecodes, euniq = pd.factorize(pdf["entity_id"])
+    n_ent = len(euniq)
+    vals = pdf["value"].to_numpy(dtype=np.float64)
+    order = np.lexsort((vals, ecodes, pcodes))
+    p_o, e_o, v_o = pcodes[order], ecodes[order], vals[order]
+    bounds = np.searchsorted(p_o, np.arange(len(obs_paths) + 1))
+    vecs = {
+        p: (e_o[bounds[k]: bounds[k + 1]], v_o[bounds[k]: bounds[k + 1]])
+        for k, p in enumerate(obs_paths)
+    }
+
+    obs_by_level: dict[int, set] = {}
+    for p in obs_paths:
+        obs_by_level.setdefault(levels[p], set()).add(p)
+    max_level = max(obs_by_level)
+    resolved_at = sorted(obs_by_level.get(max_level, set()))
+    for lvl in range(max_level - 1, 0, -1):
+        children_of: dict[str, list] = {}
+        for q in resolved_at:
+            par = q[: q.rfind("|")] if "|" in q else None
+            if par:
+                children_of.setdefault(par, []).append(q)
+        obs_lvl = obs_by_level.get(lvl, set())
+        missing = sorted(set(children_of) - obs_lvl)
+        for p in missing:
+            acc = np.zeros(n_ent)
+            mask = np.zeros(n_ent, dtype=bool)
+            for q in sorted(children_of[p]):
+                i, v = vecs[q]
+                i64 = i.astype(np.int64)
+                np.add.at(acc, i64, v)
+                mask[i64] = True
+            pres = np.flatnonzero(mask)
+            vecs[p] = (pres, acc[pres])
+            levels[p] = lvl
+        resolved_at = sorted(obs_lvl | set(missing))
+
+    ent_arr = np.asarray(list(euniq), dtype=object)
+    obs_paths_arr = np.asarray(obs_paths, dtype=object)
+    lvl_by_code = np.asarray([levels[p] for p in obs_paths], dtype=np.int64)
+    parts = [
+        pd.DataFrame(
+            {
+                "path": obs_paths_arr[pcodes],
+                "level": lvl_by_code[pcodes],
+                "entity_id": ent_arr[ecodes],
+                "value": vals,
+                "observed": True,
+            }
+        )
+    ]
+    for p in sorted(set(vecs) - set(obs_paths)):
+        i, v = vecs[p]
+        parts.append(
+            pd.DataFrame(
+                {
+                    "path": p,
+                    "level": int(levels[p]),
+                    "entity_id": ent_arr[i.astype(np.int64)],
+                    "value": v,
+                    "observed": False,
+                }
+            )
+        )
+    return pd.concat(parts, ignore_index=True)
+
+
 def hierarchical_rollup(
     long_df: DataFrame,
     clean_paths: bool = True,
     checkpoint: bool = True,
     defer_levels: bool = False,
+    allow_driver: bool = True,
 ) -> DataFrame:
     """Observed-wins hierarchical rollup (reference: lib/tree.R:372-449).
 
@@ -211,6 +313,44 @@ def hierarchical_rollup(
         return observed.select(
             "path", "level", "entity_id", "value", F.lit(True).alias("observed")
         ).limit(0)
+
+    # Driver fast path (r8, guide §8 — decide with small rows): below the
+    # row gate the whole level chain (one localCheckpoint job per level —
+    # ~1 s of pure scheduling at sf0.1's 3-level/15k-row hfe inputs)
+    # reduces to one Arrow collect of the already-cached base plus
+    # taxonomy-sized numpy, returned as a single local relation. Identical
+    # rows to the distributed chain (pinned by
+    # tests/test_taxonomy.py::test_driver_rollup_parity_with_distributed
+    # on top of the DuckDB oracles); the gate is scale-adaptive — past
+    # TAXAHFE_ROLLUP_DRIVER_MAX_ROWS (env, default 2M) or under
+    # allow_driver=False (taxa_hfe's distributed re-issue, which must keep
+    # the r7 checkpoint shape) the level chain runs unchanged.
+    raw_map = (
+        [(r["__raw"], r["path"], r["level"]) for r in map_rows]
+        if clean_paths
+        else None
+    )
+    if allow_driver and checkpoint and not defer_levels:
+        gate = int(
+            _os.environ.get("TAXAHFE_ROLLUP_DRIVER_MAX_ROWS", "2000000")
+        )
+        # count served from the cache the distinct collect just filled
+        if gate > 0 and scratch.count() <= gate:
+            _t0 = _time.time()
+            pdf = scratch.toArrow().to_pandas()
+            out = spark.createDataFrame(
+                _driver_rollup_pdf(pdf, raw_map),
+                schema="path string, level int, entity_id string, "
+                       "value double, observed boolean",
+            )
+            if _os.environ.get("TAXAHFE_DEBUG_TIMING") == "1":
+                print(
+                    f"[timing] rollup: driver resolve {_time.time()-_t0:.2f}s",
+                    file=_sys.stderr, flush=True,
+                )
+            out._taxahfe_scratch = scratch
+            out._taxahfe_base = (scratch, raw_map)
+            return out
 
     # which parents are actually MISSING per level, precomputed from path
     # strings alone (taxonomy-sized, pure driver arithmetic): resolved
@@ -320,12 +460,7 @@ def hierarchical_rollup(
     # the raw-path -> (clean path, level) mapping already collected above —
     # enough to rebuild flags/vectors driver-side without materializing the
     # distributed level chain. clean_paths=False passes None (identity map).
-    out._taxahfe_base = (
-        scratch,
-        [(r["__raw"], r["path"], r["level"]) for r in map_rows]
-        if clean_paths
-        else None,
-    )
+    out._taxahfe_base = (scratch, raw_map)
     return out
 
 

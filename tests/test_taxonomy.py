@@ -145,3 +145,40 @@ def test_filter_flags(spark, resolved):
     assert flags["k__a|p__x"]["passed_filters"] is True
     # c__n mean = 1.0/4 = 0.25 -> 0.25 > 0.5 FALSE
     assert flags["k__a|p__x|c__n"]["passed_abundance"] is False
+
+
+def test_driver_rollup_parity_with_distributed(spark, sf_dir, monkeypatch):
+    """r8: the driver fast path of hierarchical_rollup (Arrow collect +
+    numpy observed-wins rollup, returned as one local relation) must
+    produce the same rows as the distributed level chain it replaces
+    below the row gate — for both clean_paths modes, on real testdata
+    (duplicates, zero-sum presence rows and multi-level missing ancestors
+    included) and on the synthetic observed-wins fixture."""
+    import __spark_entry__ as em
+
+    def norm(df):
+        pdf = df.toPandas()
+        pdf["level"] = pdf["level"].astype("int64")
+        pdf["value"] = pdf["value"].round(9)
+        return (
+            pdf.sort_values(["path", "entity_id", "value"], kind="mergesort")
+            .reset_index(drop=True)[sorted(pdf.columns)]
+        )
+
+    wide = spark.createDataFrame(
+        [(c, *v) for c, *v in WIDE_ROWS], ["clade_name", *ENTITIES]
+    )
+    inputs = [
+        em._hfe_long(spark, sf_dir),
+        melt_wide_matrix(wide),
+    ]
+    for long in inputs:
+        for cp in (False, True):
+            monkeypatch.setenv("TAXAHFE_ROLLUP_DRIVER_MAX_ROWS", "2000000")
+            fast = hierarchical_rollup(long, clean_paths=cp)
+            assert fast.rdd.getNumPartitions() >= 1  # local relation, usable
+            monkeypatch.setenv("TAXAHFE_ROLLUP_DRIVER_MAX_ROWS", "0")
+            slow = hierarchical_rollup(long, clean_paths=cp)
+            pd.testing.assert_frame_equal(
+                norm(fast), norm(slow), check_dtype=False
+            )
