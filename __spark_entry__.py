@@ -1507,31 +1507,48 @@ def q_pit_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time token rollup: docs become (doc, ts) events, the word
     taxonomy has two snapshot versions (prefix v1/v2) so leakage is
     detectable: ts in [100,200) must see v1, >= 200 must see v2."""
+    # r8 plan restructure (same result, same oracle — the
+    # q_token_rollup_docs idiom applied here): the PIT rollup is a pure
+    # function of each (doc, ts) row's word MULTISET and word<->token_id is
+    # a bijection, so assembling token arrays via tokenize() only to
+    # re-explode them (collect_list + array_sort + explode round trip, one
+    # extra exchange) computed work the query throws away. The word stream
+    # now joins the SAME snapshot taxonomy keyed by word via
+    # point_in_time_token_features_stream; build_vocab still supplies the
+    # snapshot frame (its ranking window is pruned by Catalyst because
+    # token_id is unused).
     from taxahfe_spark.tokens import (
         build_vocab,
-        point_in_time_token_features,
-        tokenize,
+        point_in_time_token_features_stream,
         words,
     )
 
     docs = _t(spark, sf_dir, "documents")
     vocab = build_vocab(words(docs, "text"))
-    seqs = tokenize(docs, "text", "doc_id")
-    events = seqs.select(
-        "doc_id", (F.lit(100) + F.col("doc_id") % 200).cast("long").alias("ts"), "tokens"
+    par = spark.sparkContext.defaultParallelism
+    tok = (
+        words(docs, "text")
+        .repartition(par * 2)
+        .select(
+            "doc_id",
+            (F.lit(100) + F.col("doc_id") % 200).cast("long").alias("ts"),
+            F.explode("words").alias("word"),
+        )
     )
     snaps = vocab.select(
         F.lit(100).cast("long").alias("snapshot_ts"),
-        "token_id",
+        "word",
         F.concat(F.lit("v1|"), F.substring("word", 1, 1)).alias("clade_path"),
     ).unionByName(
         vocab.select(
             F.lit(200).cast("long").alias("snapshot_ts"),
-            "token_id",
+            "word",
             F.concat(F.lit("v2|"), F.substring("word", 1, 1)).alias("clade_path"),
         )
     )
-    out = point_in_time_token_features(events, snaps, "doc_id", "ts")
+    out = point_in_time_token_features_stream(
+        tok, snaps, "doc_id", "ts", token_col="word"
+    )
     return out.select(
         "doc_id", "ts", "path",
         F.col("level").cast("long").alias("level"),

@@ -429,19 +429,39 @@ def point_in_time_token_features(
     entirely). The fact table is never shuffled for version resolution;
     the only shuffle is the final count groupBy.
     """
+    tagged = _snapshot_tag(events, snapshots, ts_col)
+    tok = tagged.select(
+        id_col, ts_col, "snapshot_ts", F.explode("tokens").alias("token_id")
+    )
+    return _pit_counts(tok, snapshots, id_col, ts_col, "token_id", relative)
+
+
+def _snapshot_tag(df, snapshots: DataFrame, ts_col: str) -> DataFrame:
+    """Attach snapshot_ts = latest version <= ts as a pure JVM literal-array
+    backward probe (the version list is tiny by contract); rows before the
+    first version are dropped, like the as-of inner semantics."""
     snap_vals = sorted(
         r["snapshot_ts"]
         for r in snapshots.select("snapshot_ts").distinct().collect()
     )
     snap_arr = F.array(*[F.lit(v) for v in snap_vals])
-    tagged = events.withColumn(
+    return df.withColumn(
         "snapshot_ts",
         F.array_max(F.filter(snap_arr, lambda v: v <= F.col(ts_col))),
     ).filter(F.col("snapshot_ts").isNotNull())
-    tok = tagged.select(
-        id_col, ts_col, "snapshot_ts", F.explode("tokens").alias("token_id")
-    )
-    leaf = tok.join(F.broadcast(snapshots), ["snapshot_ts", "token_id"], "inner")
+
+
+def _pit_counts(
+    tok: DataFrame,
+    snapshots: DataFrame,
+    id_col: str,
+    ts_col: str,
+    token_col: str,
+    relative: bool,
+) -> DataFrame:
+    """Shared PIT counting tail: version-resolved token stream -> per-(doc,
+    ts) ancestor counts. tok must already carry snapshot_ts."""
+    leaf = tok.join(F.broadcast(snapshots), ["snapshot_ts", token_col], "inner")
     anc = explode_ancestors(
         leaf.select(id_col, ts_col, F.col("clade_path").alias("path")), "path"
     )
@@ -452,6 +472,31 @@ def point_in_time_token_features(
         w = Window.partitionBy(id_col, ts_col, "level")
         counts = counts.withColumn("value", F.col("value") / F.sum("value").over(w))
     return counts
+
+
+def point_in_time_token_features_stream(
+    tok: DataFrame,
+    snapshots: DataFrame,
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    token_col: str = "token_id",
+    relative: bool = False,
+) -> DataFrame:
+    """PIT rollup over an ALREADY-EXPLODED token stream (r8, the
+    token_count_rollup_stream idiom applied to the point-in-time operator).
+
+    tok: (id_col, ts_col, token_col); snapshots: (snapshot_ts, token_col,
+    clade_path) — broadcast. Same output as
+    :func:`point_in_time_token_features` on the assembled sequences: the
+    rollup is a pure function of each (doc, ts) row's token MULTISET, so
+    callers that hold the exploded stream (e.g. a word stream joined to
+    word-keyed snapshots) skip the collect_list + array_sort + re-explode
+    round trip entirely. ``token_col`` may be any joinable type (int token
+    ids, raw words, ...). The version probe runs per stream row here
+    (per event row on the array path) — same tag either way, since
+    snapshot_ts is a function of ts alone."""
+    tagged = _snapshot_tag(tok, snapshots, ts_col)
+    return _pit_counts(tagged, snapshots, id_col, ts_col, token_col, relative)
 
 
 def sample_by_source(

@@ -511,3 +511,55 @@ def test_stratified_sample_k_exact_counts_and_determinism(spark):
     d = sorted(r["doc_id"] for r in
                stratified_sample_k(df.repartition(7), k=10, seed=1).collect())
     assert a == d
+
+
+def test_pit_stream_matches_array_path(spark):
+    """r8: point_in_time_token_features_stream on the exploded stream must
+    equal the array path on the assembled sequences — including the
+    version-change leak case and rows before the first snapshot — and a
+    word-keyed stream (the q_pit_token_features shape) must equal the
+    token-id-keyed array path through the word<->token_id bijection."""
+    from taxahfe_spark.tokens import point_in_time_token_features_stream
+
+    events = spark.createDataFrame(
+        [("d1", 10, [0, 0, 1]), ("d1", 100, [0, 1, 1]), ("d2", 5, [0]),
+         ("d3", 60, [1, 1, 0, 1])],
+        "doc_id string, ts long, tokens array<int>",
+    )
+    snaps = spark.createDataFrame(
+        [
+            (8, 0, "old|zero"), (8, 1, "old|one"),
+            (50, 0, "new|zero"), (50, 1, "new|one"),
+        ],
+        "snapshot_ts long, token_id int, clade_path string",
+    )
+    expect = {
+        (r["doc_id"], r["ts"], r["path"], r["level"]): r["value"]
+        for r in point_in_time_token_features(events, snaps).collect()
+    }
+
+    tok = events.select("doc_id", "ts", F.explode("tokens").alias("token_id"))
+    got = {
+        (r["doc_id"], r["ts"], r["path"], r["level"]): r["value"]
+        for r in point_in_time_token_features_stream(tok, snaps).collect()
+    }
+    assert got == expect
+
+    # word-keyed stream: remap token ids to words on both stream and snaps
+    word_of = {0: "zero", 1: "one"}
+    tok_w = spark.createDataFrame(
+        [(r["doc_id"], r["ts"], word_of[r["token_id"]]) for r in tok.collect()],
+        "doc_id string, ts long, word string",
+    )
+    snaps_w = spark.createDataFrame(
+        [(r["snapshot_ts"], word_of[r["token_id"]], r["clade_path"])
+         for r in snaps.collect()],
+        "snapshot_ts long, word string, clade_path string",
+    )
+    got_w = {
+        (r["doc_id"], r["ts"], r["path"], r["level"]): r["value"]
+        for r in point_in_time_token_features_stream(
+            tok_w, snaps_w, token_col="word"
+        ).collect()
+    }
+    assert got_w == expect
