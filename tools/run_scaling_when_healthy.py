@@ -28,6 +28,13 @@ MULTS = {
     "BENCH_SCALE_MULT_TOKENS": "8",
     "BENCH_SCALE_MULT_ROLLUP": "32",
     "BENCH_SCALE_MULT_COLLAPSE": "4",
+    # scaling legs must measure the DISTRIBUTED algorithms: hard-disable
+    # the driver-size fast paths (the rollup leg's ~481k replicated rows
+    # would otherwise fall under the r8 2M gates and flatten eta — the
+    # collapse leg already exceeds both gates naturally, pinned here so a
+    # future mult change cannot silently flip either leg driver-side)
+    "TAXAHFE_ROLLUP_DRIVER_MAX_ROWS": "0",
+    "TAXAHFE_DRIVER_PREFIX_MAX_ROWS": "0",
 }
 
 
